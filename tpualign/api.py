@@ -1,0 +1,83 @@
+"""Top-level user API: score and align with automatic engine dispatch.
+
+Successor of the reference's driver layer (``src/common/driver.cpp``,
+``mpi-*-driver.cpp``): where the reference picks an implementation by compiling
+a different binary, here one call dispatches on :class:`EngineConfig.impl` and
+the available hardware.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .config import AlignMode, EngineConfig, ScoringConfig
+
+#: Above this many DP cells, ``align`` switches from the in-memory full-table
+#: traceback to the checkpointed block traceback.
+FULL_TABLE_CELL_LIMIT = 16 * 1024 * 1024
+
+
+def _platform() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+def resolve_impl(engine: EngineConfig) -> str:
+    """Resolve ``impl='auto'`` to a concrete engine for this process."""
+    if engine.impl != "auto":
+        return engine.impl
+    return "pallas" if _platform() == "tpu" else "xla"
+
+
+def align_score(
+    s1: np.ndarray,
+    s2: np.ndarray,
+    scoring: ScoringConfig = ScoringConfig(),
+    engine: EngineConfig = EngineConfig(),
+) -> int:
+    """Alignment score of ``s1`` (columns) vs ``s2`` (rows).
+
+    Semantics identical to the reference serial kernel (``serial.cpp:16-31``)
+    for global mode; local mode adds the Smith-Waterman zero floor.
+    """
+    impl = resolve_impl(engine)
+    if impl == "oracle":
+        from .ops import oracle
+
+        return oracle.score(s1, s2, scoring)
+    if impl == "xla":
+        from .ops import xla
+
+        return xla.score(s1, s2, scoring)
+    if impl == "pallas":
+        from .ops import pallas_diag
+
+        return pallas_diag.score(s1, s2, scoring, interpret=engine.interpret)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def align(
+    s1: np.ndarray,
+    s2: np.ndarray,
+    scoring: ScoringConfig = ScoringConfig(),
+    engine: EngineConfig = EngineConfig(),
+) -> Tuple[int, str, str]:
+    """Score plus aligned strings — capability the reference lacks entirely
+    (it prints only the score, ``driver.cpp:35``).
+
+    Small problems use the exact full-table traceback; large ones use the
+    checkpointed block traceback (O(NM/K) memory, device forward pass).
+    """
+    s1 = np.asarray(s1, dtype=np.int8)
+    s2 = np.asarray(s2, dtype=np.int8)
+    cells = (s1.size + 1) * (s2.size + 1)
+    if cells <= FULL_TABLE_CELL_LIMIT:
+        from .ops import oracle
+
+        return oracle.traceback(s1, s2, scoring)
+    from .ops import traceback as tb
+
+    return tb.align_checkpointed(s1, s2, scoring, engine)

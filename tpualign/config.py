@@ -1,0 +1,88 @@
+"""Scoring and execution configuration for tpu-align.
+
+The reference (EricBAndrews/Fast-Needleman-Wunsch) spreads its configuration over
+three tiers — compile-time ``#define``s (``src/common/needleman-wunsch.hpp:11-16``:
+MATCH=1, MISMATCH=0, GAP=-1; block shapes ``sentinel-otf-blocked-mt.cpp:5-6``;
+comm-chunk sizes ``nw-mpi.hpp:18`` / ``nw-hybrid.hpp:20-22``), argv knobs for the
+tune binaries (``block-tuner.cpp:26-27``), and launcher environment
+(``OMP_NUM_THREADS``, ``mpirun -np``).  This module unifies all of that into two
+plain dataclasses:
+
+* :class:`ScoringConfig` — the algorithm: substitution scores, gap penalty, and
+  alignment mode (global Needleman-Wunsch vs. local Smith-Waterman).
+* :class:`EngineConfig` — the execution strategy: which kernel implementation,
+  chunk depth for the pipelined multi-chip fill (successor of ``COMMBUF_SIZE``),
+  and tile shape for the blocked kernels (successor of the ``N``/``M`` block dims).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class AlignMode(enum.Enum):
+    """Global (Needleman-Wunsch) or local (Smith-Waterman) alignment."""
+
+    GLOBAL = "nw"
+    LOCAL = "sw"
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoringConfig:
+    """Linear-gap scoring parameters.
+
+    Defaults reproduce the reference's compiled-in constants
+    (``needleman-wunsch.hpp:11-13``): match=+1, mismatch=0, gap=-1.
+    Scores are int32 throughout; with \\|scores\\| <= 1 and sequence lengths
+    <= ~10^7 the DP values stay far from int32 overflow.
+    """
+
+    match: int = 1
+    mismatch: int = 0
+    gap: int = -1
+    mode: AlignMode = AlignMode.GLOBAL
+
+    def __post_init__(self) -> None:
+        for name in ("match", "mismatch", "gap"):
+            v = getattr(self, name)
+            if not isinstance(v, int):
+                raise TypeError(f"{name} must be a Python int, got {type(v)}")
+        if not isinstance(self.mode, AlignMode):
+            raise TypeError(f"mode must be AlignMode, got {type(self.mode)}")
+
+    @property
+    def is_local(self) -> bool:
+        return self.mode is AlignMode.LOCAL
+
+    def with_mode(self, mode: AlignMode) -> "ScoringConfig":
+        return dataclasses.replace(self, mode=mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Execution-strategy knobs.
+
+    ``chunk_rows`` is the depth (in DP rows) of one pipelined super-step of the
+    multi-chip strip fill — the TPU successor of the reference's MPI comm-buffer
+    size (``COMMBUF_SIZE`` 1280 ints, ``nw-mpi.hpp:18``, swept by
+    ``src/buf-tune.sh``).  ``tile_rows``/``tile_cols`` shape the blocked kernels
+    (successor of the OMP block dims N=128, M=64 at
+    ``sentinel-otf-blocked-mt.cpp:5-6``, swept by ``src/block-tune.sh``).
+    """
+
+    impl: str = "auto"  # auto | pallas | xla | oracle
+    chunk_rows: int = 2048
+    tile_rows: int = 256
+    tile_cols: int = 512
+    interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
+
+    def __post_init__(self) -> None:
+        if self.impl not in ("auto", "pallas", "xla", "oracle"):
+            raise ValueError(f"unknown impl {self.impl!r}")
+        if self.chunk_rows <= 0 or self.tile_rows <= 0 or self.tile_cols <= 0:
+            raise ValueError("chunk/tile dims must be positive")
+
+
+DEFAULT_SCORING = ScoringConfig()
+DEFAULT_ENGINE = EngineConfig()

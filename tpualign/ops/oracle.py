@@ -1,0 +1,147 @@
+"""NumPy reference implementations — the test oracle.
+
+The reference validates correctness by comparing the printed ``Score:`` line
+across its 16 C++ implementations on tiny inputs (SURVEY.md §4); it ships no
+automated tests.  This module is the missing oracle layer: a direct, readable
+transcription of the DP *semantics* of the serial kernel
+(``src/serial/serial.cpp:16-31``: boundaries ``t[0][j]=j*GAP``, ``t[i][0]=i*GAP``;
+recurrence ``max(diag+sub, up+gap, left+gap)`` with tie order diag > up > left),
+against which every device kernel is checked cell-exactly.
+
+Conventions (same as the reference): ``s1`` runs across the top (columns, length
+M -> table has M+1 columns), ``s2`` down the side (rows, length N).  The NW score
+is the bottom-right cell.  Smith-Waterman (announced but never implemented in the
+reference, ``README.md:2``) adds the zero floor and scores at the running max cell.
+
+Row updates are vectorized with the max-plus prefix-scan identity: with linear
+gap ``g``, ``H[i][j] = max(T[j], H[i][j-1]+g)`` unrolls to
+``H[i][j] = j*g + cummax_k<=j (T[k] - k*g)`` — an ``np.maximum.accumulate``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import AlignMode, ScoringConfig
+
+
+def _sub_row(s1: np.ndarray, base: np.int64, cfg: ScoringConfig) -> np.ndarray:
+    return np.where(s1 == base, np.int64(cfg.match), np.int64(cfg.mismatch))
+
+
+def score_table(
+    s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig = ScoringConfig()
+) -> np.ndarray:
+    """Full (N+1, M+1) int32 DP table.  O(N*M) memory — small inputs only."""
+    s1 = np.asarray(s1, dtype=np.int64)
+    s2 = np.asarray(s2, dtype=np.int64)
+    M, N = s1.size, s2.size
+    g = np.int64(cfg.gap)
+    local = cfg.is_local
+    H = np.zeros((N + 1, M + 1), dtype=np.int64)
+    jg = np.arange(M + 1, dtype=np.int64) * g
+    if not local:
+        H[0, :] = jg
+        H[:, 0] = np.arange(N + 1, dtype=np.int64) * g
+    for i in range(1, N + 1):
+        sub = _sub_row(s1, s2[i - 1], cfg)
+        T = np.empty(M + 1, dtype=np.int64)
+        T[0] = 0 if local else H[i - 1, 0] + g
+        np.maximum(H[i - 1, :-1] + sub, H[i - 1, 1:] + g, out=T[1:])
+        if local:
+            np.maximum(T, 0, out=T)
+        # resolve the in-row left dependency with a running max
+        H[i] = np.maximum.accumulate(T - jg) + jg
+    return H.astype(np.int32)
+
+
+def score(
+    s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig = ScoringConfig()
+) -> int:
+    """Alignment score in O(M) memory (row scan) — works for the big pairs."""
+    s1 = np.asarray(s1, dtype=np.int64)
+    s2 = np.asarray(s2, dtype=np.int64)
+    M = s1.size
+    g = np.int64(cfg.gap)
+    local = cfg.is_local
+    jg = np.arange(M + 1, dtype=np.int64) * g
+    H = np.zeros(M + 1, dtype=np.int64) if local else jg.copy()
+    best = np.int64(0)
+    T = np.empty(M + 1, dtype=np.int64)
+    for i in range(1, s2.size + 1):
+        sub = _sub_row(s1, s2[i - 1], cfg)
+        T[0] = 0 if local else H[0] + g
+        np.maximum(H[:-1] + sub, H[1:] + g, out=T[1:])
+        if local:
+            np.maximum(T, 0, out=T)
+        H = np.maximum.accumulate(T - jg) + jg
+        if local:
+            best = max(best, H.max())
+    return int(best if local else H[-1])
+
+
+def traceback(
+    s1: np.ndarray,
+    s2: np.ndarray,
+    cfg: ScoringConfig = ScoringConfig(),
+) -> Tuple[int, str, str]:
+    """Score plus aligned strings (gap char ``-``), from the full table.
+
+    Tie order diag > up > left mirrors the branchless max of the reference
+    (``serial.cpp:29-30``: a later candidate replaces only on a strictly greater
+    value).  For Smith-Waterman the path starts at the maximum cell (row-major
+    first occurrence) and stops at the first zero cell.
+    """
+    from ..io.bdna import BASES
+
+    s1 = np.asarray(s1, dtype=np.int64)
+    s2 = np.asarray(s2, dtype=np.int64)
+    H = score_table(s1, s2, cfg).astype(np.int64)
+    local = cfg.is_local
+    if local:
+        i, j = np.unravel_index(int(np.argmax(H)), H.shape)
+        sc = int(H[i, j])
+    else:
+        i, j = s2.size, s1.size
+        sc = int(H[i, j])
+    a1: List[str] = []
+    a2: List[str] = []
+    g = cfg.gap
+    while i > 0 or j > 0:
+        if local and H[i, j] == 0:
+            break
+        diag_ok = i > 0 and j > 0
+        if diag_ok:
+            subs = cfg.match if s1[j - 1] == s2[i - 1] else cfg.mismatch
+        if diag_ok and H[i, j] == H[i - 1, j - 1] + subs:
+            a1.append(BASES[s1[j - 1]])
+            a2.append(BASES[s2[i - 1]])
+            i, j = i - 1, j - 1
+        elif i > 0 and H[i, j] == H[i - 1, j] + g:
+            a1.append("-")
+            a2.append(BASES[s2[i - 1]])
+            i -= 1
+        elif j > 0 and H[i, j] == H[i, j - 1] + g:
+            a1.append(BASES[s1[j - 1]])
+            a2.append("-")
+            j -= 1
+        else:  # pragma: no cover - would indicate a broken table
+            raise AssertionError(f"no predecessor at ({i},{j})")
+    return sc, "".join(reversed(a1)), "".join(reversed(a2))
+
+
+def alignment_score(a1: str, a2: str, cfg: ScoringConfig = ScoringConfig()) -> int:
+    """Re-score an aligned pair — property check that a traceback is valid."""
+    if len(a1) != len(a2):
+        raise ValueError("aligned strings differ in length")
+    sc = 0
+    for x, y in zip(a1, a2):
+        if x == "-" or y == "-":
+            sc += cfg.gap
+        elif x == y:
+            sc += cfg.match
+        else:
+            sc += cfg.mismatch
+    return sc

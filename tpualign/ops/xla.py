@@ -1,0 +1,146 @@
+"""Pure-XLA (jax.lax) scorers — portable across TPU and CPU.
+
+This is the framework's "serial" implementation family (successor of the
+reference's ``src/serial/serial.cpp`` / ``blocked-serial.cpp``): one device, no
+Pallas, compiler-scheduled.  It exists for three reasons:
+
+1. a device-resident oracle that runs anywhere (tests execute it on CPU),
+2. the per-shard chunk fill inside the multi-chip strip pipeline
+   (``tpualign.parallel.strips``), where it must compile under ``shard_map``
+   on a virtual CPU mesh as well as on real chips,
+3. a fallback when Pallas is unavailable.
+
+The row update uses the max-plus prefix-scan identity (see ``ops/oracle.py``):
+the in-row ``left`` dependency ``H[j] = max(T[j], H[j-1]+g)`` becomes
+``H = j*g + cummax(T - j*g)`` via ``jax.lax.associative_scan`` — replacing the
+reference's branchless scalar chain (``serial.cpp:23-31``) with a log-depth
+vector scan, the idiomatic XLA shape for a loop-carried max.
+
+All values are int32, matching the reference's table type.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignMode, ScoringConfig
+
+NEG_INF = jnp.int32(-(2**30))  # safe "minus infinity": far below any real score
+
+
+def _row_step(
+    s1: jax.Array,
+    jg: jax.Array,
+    cfg: ScoringConfig,
+    h_prev: jax.Array,
+    left0: jax.Array,
+    base: jax.Array,
+) -> jax.Array:
+    """One DP row: previous row ``h_prev`` (len M+1), new row's column-0 value
+    ``left0``, current ``s2`` base.  Returns the new row."""
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    g = jnp.int32(cfg.gap)
+    sub = jnp.where(s1 == base, match, mismatch)
+    t = jnp.maximum(h_prev[:-1] + sub, h_prev[1:] + g)
+    if cfg.is_local:
+        t = jnp.maximum(t, 0)
+        left0 = jnp.int32(0)
+    t = jnp.concatenate([left0[None], t])
+    v = jax.lax.associative_scan(jnp.maximum, t - jg)
+    return v + jg
+
+
+def _rows_scan(
+    s1: jax.Array,
+    s2: jax.Array,
+    cfg: ScoringConfig,
+    h0: jax.Array,
+    left_col: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fill ``len(s2)`` rows starting from top row ``h0`` and per-row column-0
+    values ``left_col``.  Returns (last row, all last-column values, running max).
+    """
+    M = s1.shape[0]
+    jg = jnp.arange(M + 1, dtype=jnp.int32) * jnp.int32(cfg.gap)
+
+    def step(carry, xs):
+        h_prev, best = carry
+        base, l0 = xs
+        h = _row_step(s1, jg, cfg, h_prev, l0, base)
+        best = jnp.maximum(best, jnp.max(h))
+        return (h, best), h[-1]
+
+    (h_last, best), right_col = jax.lax.scan(
+        step, (h0, NEG_INF), (s2, left_col)
+    )
+    return h_last, right_col, best
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _score_impl(s1: jax.Array, s2: jax.Array, cfg: ScoringConfig) -> jax.Array:
+    M = s1.shape[0]
+    N = s2.shape[0]
+    g = jnp.int32(cfg.gap)
+    if cfg.is_local:
+        h0 = jnp.zeros(M + 1, dtype=jnp.int32)
+        left = jnp.zeros(N, dtype=jnp.int32)
+    else:
+        h0 = jnp.arange(M + 1, dtype=jnp.int32) * g
+        left = (jnp.arange(N, dtype=jnp.int32) + 1) * g
+    h_last, _, best = _rows_scan(s1, s2, cfg, h0, left)
+    if cfg.is_local:
+        return jnp.maximum(best, 0)
+    return h_last[-1]
+
+
+def score(s1, s2, cfg: ScoringConfig = ScoringConfig()) -> int:
+    """Alignment score via the XLA row scan.  Accepts NumPy or JAX arrays."""
+    s1 = jnp.asarray(s1, dtype=jnp.int32)
+    s2 = jnp.asarray(s2, dtype=jnp.int32)
+    if s1.shape[0] == 0 or s2.shape[0] == 0:
+        # degenerate: all-gap alignment (or empty local alignment)
+        if cfg.is_local:
+            return 0
+        return cfg.gap * (s1.shape[0] + s2.shape[0])
+    return int(_score_impl(s1, s2, cfg))
+
+
+def score_fn(cfg: ScoringConfig = ScoringConfig()):
+    """Jittable ``(s1, s2) -> score`` closure for benchmarking/compile checks."""
+
+    def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
+        return _score_impl(s1, s2, cfg)
+
+    return fn
+
+
+def last_row(
+    s1,
+    s2,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    reverse: bool = False,
+) -> jax.Array:
+    """Final DP row (length M+1) — the Hirschberg building block.
+
+    With ``reverse=True`` computes the last row of the suffix problem (both
+    sequences reversed), used to find the optimal split column.
+    """
+    s1 = jnp.asarray(s1, dtype=jnp.int32)
+    s2 = jnp.asarray(s2, dtype=jnp.int32)
+    if reverse:
+        s1, s2 = s1[::-1], s2[::-1]
+    M = s1.shape[0]
+    N = s2.shape[0]
+    g = jnp.int32(cfg.gap)
+    h0 = jnp.arange(M + 1, dtype=jnp.int32) * g
+    if N == 0:
+        return h0
+    left = (jnp.arange(N, dtype=jnp.int32) + 1) * g
+    h_last, _, _ = _rows_scan(s1, s2, cfg, h0, left)
+    return h_last
