@@ -49,7 +49,8 @@ def _row_step(
     t = jnp.maximum(h_prev[:-1] + sub, h_prev[1:] + g)
     if cfg.is_local:
         t = jnp.maximum(t, 0)
-        left0 = jnp.int32(0)
+    # left0 is the row's column-0 value: the global boundary (i*gap, or 0 in
+    # local mode) — or, inside a sharded strip, the halo from the left neighbor
     t = jnp.concatenate([left0[None], t])
     v = jax.lax.associative_scan(jnp.maximum, t - jg)
     return v + jg
