@@ -1,0 +1,119 @@
+// tpu-align native support library.
+//
+// The reference's native layer IS its compute path (C++ kernels, x86 spin-wait
+// assembly, MPI calls).  In the TPU build the compute path is Pallas/XLA; what
+// remains usefully native is the host-side runtime around it:
+//
+//   * a fast, independent CPU scorer used as a validation oracle for the big
+//     corpus pairs (the NumPy oracle needs tens of seconds at 50 KB sequences;
+//     this runs the same semantics at ~1 GCUPS in O(M) memory) — a third,
+//     structurally different implementation of the recurrence semantics of
+//     the reference's serial kernel (serial.cpp:23-31), written fresh:
+//     row-scan with a running in-row maximum instead of a full table,
+//   * corpus generation/validation at GB scale for benchmark sweeps.
+//
+// Exposed with C linkage and driven from Python via ctypes
+// (tpualign/utils/native.py).  No Python headers needed.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// --- corpus tools ----------------------------------------------------------
+
+// xoshiro256** - tiny, fast, seedable PRNG for base generation
+static inline uint64_t rotl(uint64_t x, int k) {
+  return (x << k) | (x >> (64 - k));
+}
+
+struct Xoshiro {
+  uint64_t s[4];
+  explicit Xoshiro(uint64_t seed) {
+    // splitmix64 expansion
+    for (int i = 0; i < 4; ++i) {
+      seed += 0x9e3779b97f4a7c15ULL;
+      uint64_t z = seed;
+      z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+      z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+      s[i] = z ^ (z >> 31);
+    }
+  }
+  uint64_t next() {
+    uint64_t r = rotl(s[1] * 5, 7) * 9;
+    uint64_t t = s[1] << 17;
+    s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3];
+    s[2] ^= t; s[3] = rotl(s[3], 45);
+    return r;
+  }
+};
+
+// Fill `out` with `len` random base codes 1..4.
+void bdna_generate(uint64_t seed, int64_t len, int8_t* out) {
+  Xoshiro rng(seed);
+  int64_t i = 0;
+  for (; i + 32 <= len; i += 32) {
+    uint64_t r = rng.next();
+    for (int k = 0; k < 32; ++k) {
+      out[i + k] = (int8_t)(1 + ((r >> (2 * k)) & 3));
+    }
+  }
+  if (i < len) {
+    uint64_t r = rng.next();
+    for (int k = 0; i < len; ++i, ++k) {
+      out[i] = (int8_t)(1 + ((r >> (2 * k)) & 3));
+    }
+  }
+}
+
+// Return index of first byte outside 0..4, or -1 if all valid.
+int64_t bdna_validate(const int8_t* seq, int64_t len) {
+  for (int64_t i = 0; i < len; ++i) {
+    if (seq[i] < 0 || seq[i] > 4) return i;
+  }
+  return -1;
+}
+
+// --- independent scorer (validation oracle) --------------------------------
+
+// Row-scan alignment score in O(M) memory.
+//   mode 0: global (Needleman-Wunsch)  — boundaries i*gap / j*gap
+//   mode 1: local  (Smith-Waterman)    — zero floor, max over all cells
+// Semantics identical to the reference serial kernel: tie order is irrelevant
+// for the score; int64 accumulators keep any scoring config exact.
+int64_t align_score_native(const int8_t* s1, int64_t m,
+                           const int8_t* s2, int64_t n,
+                           int64_t match, int64_t mismatch, int64_t gap,
+                           int mode) {
+  if (m <= 0 || n <= 0) {
+    return mode == 1 ? 0 : (int64_t)(m + n) * gap;
+  }
+  std::vector<int64_t> row((size_t)m + 1);
+  const bool local = (mode == 1);
+  for (int64_t j = 0; j <= m; ++j) row[(size_t)j] = local ? 0 : j * gap;
+  int64_t best = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t diag = row[0];                     // H[i-1][j-1]
+    int64_t left = local ? 0 : i * gap;        // H[i][j-1], starts at column 0
+    row[0] = left;
+    const int8_t c2 = s2[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t up = row[(size_t)j];       // H[i-1][j]
+      int64_t v = diag + (s1[j - 1] == c2 ? match : mismatch);
+      v = std::max(v, up + gap);
+      v = std::max(v, left + gap);
+      if (local) {
+        v = std::max<int64_t>(v, 0);
+        best = std::max(best, v);
+      }
+      diag = up;
+      row[(size_t)j] = v;
+      left = v;
+    }
+  }
+  return local ? best : row[(size_t)m];
+}
+
+}  // extern "C"

@@ -1,0 +1,52 @@
+"""Native (C++/ctypes) support library vs. the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from tpualign.config import AlignMode, ScoringConfig
+from tpualign.ops import oracle
+from tpualign.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no native toolchain"
+)
+
+
+def test_scores_match_oracle(scoring):
+    rng = np.random.default_rng(61)
+    for _ in range(10):
+        s1 = rng.integers(1, 5, size=int(rng.integers(1, 80)), dtype=np.int8)
+        s2 = rng.integers(1, 5, size=int(rng.integers(1, 80)), dtype=np.int8)
+        assert native.score(s1, s2, scoring) == oracle.score(s1, s2, scoring)
+
+
+def test_nonuniform_scoring():
+    cfg = ScoringConfig(match=7, mismatch=-5, gap=-3)
+    rng = np.random.default_rng(67)
+    s1 = rng.integers(1, 5, size=150, dtype=np.int8)
+    s2 = rng.integers(1, 5, size=140, dtype=np.int8)
+    assert native.score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+
+
+def test_generate_and_validate():
+    seq = native.generate(10000, seed=3)
+    assert seq.min() >= 1 and seq.max() <= 4
+    assert native.validate(seq) == -1
+    bad = seq.copy()
+    bad[1234] = 9
+    assert native.validate(bad) == 1234
+    # deterministic
+    np.testing.assert_array_equal(native.generate(10000, seed=3), seq)
+
+
+def test_reference_smid_score():
+    import os
+
+    p = "/root/reference/bdna"
+    if not os.path.isdir(p):
+        pytest.skip("corpus not mounted")
+    from tpualign.io.bdna import read_bdna
+
+    s1 = read_bdna(os.path.join(p, "smid1.bdna"))
+    s2 = read_bdna(os.path.join(p, "smid2.bdna"))
+    assert native.score(s1, s2) == 5839  # golden from compiled reference

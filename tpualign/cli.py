@@ -1,0 +1,266 @@
+"""Command-line interface.
+
+Successor of the reference's driver binaries + zsh harness in one tool:
+
+- ``score``    — the driver.cpp contract: print elapsed ms and ``Score: N``
+                 (``driver.cpp:33-35``), any engine, NW or SW.
+- ``align``    — score **plus the alignment** (capability the reference lacks).
+- ``generate`` — synthesize ``.bdna`` pairs by DP-table footprint, like the
+                 reference's 2gb..64gb corpus naming.
+- ``bench``    — size sweep -> TSV/JSON (succeeds ``benchmark-sizes.sh`` and
+                 ``data/multi.tsv``).
+- ``tune``     — knob sweep (succeeds ``block-tune.sh`` / ``buf-tune.sh``).
+- ``info``     — devices/backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+from .config import AlignMode, EngineConfig, ScoringConfig
+
+
+def _scoring(args) -> ScoringConfig:
+    return ScoringConfig(
+        match=args.match,
+        mismatch=args.mismatch,
+        gap=args.gap,
+        mode=AlignMode.LOCAL if args.mode == "sw" else AlignMode.GLOBAL,
+    )
+
+
+def _add_scoring_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mode", choices=["nw", "sw"], default="nw",
+                   help="global (Needleman-Wunsch) or local (Smith-Waterman)")
+    p.add_argument("--match", type=int, default=1)
+    p.add_argument("--mismatch", type=int, default=0)
+    p.add_argument("--gap", type=int, default=-1)
+
+
+def _add_engine_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--impl", choices=["auto", "pallas", "xla", "oracle"],
+                   default="auto")
+    p.add_argument("--chunk-rows", type=int, default=2048,
+                   help="pipelined chunk depth for the sharded engine")
+
+
+def _load_pair(args):
+    from .io.bdna import read_bdna
+
+    return read_bdna(args.seq1), read_bdna(args.seq2)
+
+
+def cmd_score(args) -> int:
+    from .api import align_score
+
+    s1, s2 = _load_pair(args)
+    engine = EngineConfig(impl=args.impl, chunk_rows=args.chunk_rows)
+    t0 = time.perf_counter()
+    score = align_score(s1, s2, _scoring(args), engine)
+    ms = (time.perf_counter() - t0) * 1e3
+    print(f"{ms:.2f}")
+    print(f"Score: {score}")
+    return 0
+
+
+def cmd_align(args) -> int:
+    from .api import align
+
+    s1, s2 = _load_pair(args)
+    engine = EngineConfig(impl=args.impl, chunk_rows=args.chunk_rows)
+    t0 = time.perf_counter()
+    score, a1, a2 = align(s1, s2, _scoring(args), engine)
+    ms = (time.perf_counter() - t0) * 1e3
+    print(f"{ms:.2f}")
+    print(f"Score: {score}")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(a1 + "\n" + a2 + "\n")
+        print(f"alignment written to {args.out}")
+    else:
+        width = args.width
+        for off in range(0, len(a1), width):
+            x, y = a1[off : off + width], a2[off : off + width]
+            mid = "".join("|" if a == b and a != "-" else " " for a, b in zip(x, y))
+            print(x)
+            print(mid)
+            print(y)
+            print()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from .io.bdna import pair_lengths_for_gb, random_pair, table_gb, write_bdna
+
+    if args.gb is not None:
+        l1, l2 = pair_lengths_for_gb(args.gb)
+    elif args.lengths:
+        l1, l2 = args.lengths
+    else:
+        print("error: pass --gb or --lengths", file=sys.stderr)
+        return 2
+    s1, s2 = random_pair(l1, l2, seed=args.seed)
+    write_bdna(args.out1, s1)
+    write_bdna(args.out2, s2)
+    print(f"wrote {args.out1} ({l1} bases), {args.out2} ({l2} bases); "
+          f"table {table_gb(l1, l2):.2f} GB")
+    return 0
+
+
+def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .bench.harness import time_device_fn
+
+    if len(s2) > len(s1):
+        s1, s2 = s2, s1
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .ops import pallas_diag
+
+        fn = jax.jit(pallas_diag.score_fn(len(s1), len(s2), scoring))
+    else:
+        from .ops import xla as xla_ops
+
+        fn = jax.jit(xla_ops.score_fn(scoring))
+    d1 = jnp.asarray(np.asarray(s1), jnp.int32)
+    d2 = jnp.asarray(np.asarray(s2), jnp.int32)
+    return time_device_fn(
+        fn, (d1, d2), label=name, cells=len(s1) * len(s2), runs=runs
+    )
+
+
+def cmd_bench(args) -> int:
+    from .bench.harness import write_json, write_tsv
+    from .io.bdna import read_bdna
+
+    results = []
+    for name in args.pairs.split(","):
+        p1 = os.path.join(args.corpus, f"{name}-1.bdna")
+        p2 = os.path.join(args.corpus, f"{name}-2.bdna")
+        if not os.path.exists(p1):
+            p1 = os.path.join(args.corpus, f"{name}1.bdna")
+            p2 = os.path.join(args.corpus, f"{name}2.bdna")
+        s1, s2 = read_bdna(p1), read_bdna(p2)
+        r = _bench_one(name, s1, s2, _scoring(args), args.impl, args.runs)
+        print(f"{r.label}\t{r.row()['ms_avg']} ms\t{r.row()['gcups_best']} GCUPS"
+              f"\tscore {r.score}")
+        results.append(r)
+    if args.tsv:
+        write_tsv(args.tsv, results)
+    if args.json:
+        import jax
+
+        write_json(args.json, results, {"backend": jax.default_backend(),
+                                        "impl": args.impl, "runs": args.runs})
+    return 0
+
+
+def cmd_tune(args) -> int:
+    """Sweep the sharded engine's chunk depth (COMMBUF_SIZE successor)."""
+    import jax
+
+    from .io.bdna import read_bdna
+    from .ops import oracle
+    from .parallel import strips
+    from .parallel.mesh import make_mesh
+
+    s1, s2 = read_bdna(args.seq1), read_bdna(args.seq2)
+    mesh = make_mesh(args.devices if args.devices > 0 else None)
+    rows = []
+    for chunk in (int(v) for v in args.values.split(",")):
+        t0 = time.perf_counter()
+        score = strips.score(s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk)
+        warm = time.perf_counter() - t0
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            strips.score(s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk)
+            samples.append(time.perf_counter() - t0)
+        best = min(samples)
+        gcups = len(s1) * len(s2) / best / 1e9
+        print(f"chunk_rows={chunk}\t{best*1e3:.2f} ms\t{gcups:.3f} GCUPS\tscore {score}")
+        rows.append((chunk, best, gcups, score))
+    if args.tsv:
+        with open(args.tsv, "w") as f:
+            f.write("chunk_rows\tms_best\tgcups\tscore\n")
+            for chunk, best, gcups, score in rows:
+                f.write(f"{chunk}\t{best*1e3:.2f}\t{gcups:.3f}\t{score}\n")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    print(f"jax {jax.__version__}, backend {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  {d}")
+    return 0
+
+
+def main(argv: List[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tpualign", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("score", help="alignment score of two .bdna files")
+    p.add_argument("seq1")
+    p.add_argument("seq2")
+    _add_scoring_args(p)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_score)
+
+    p = sub.add_parser("align", help="score + alignment")
+    p.add_argument("seq1")
+    p.add_argument("seq2")
+    p.add_argument("--out", help="write alignment to file")
+    p.add_argument("--width", type=int, default=80)
+    _add_scoring_args(p)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("generate", help="synthesize a .bdna pair")
+    p.add_argument("out1")
+    p.add_argument("out2")
+    p.add_argument("--gb", type=float, help="target int32 DP-table footprint")
+    p.add_argument("--lengths", type=int, nargs=2, metavar=("L1", "L2"))
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("bench", help="size sweep -> TSV/JSON")
+    p.add_argument("--pairs", default="2gb,8gb,16gb,32gb,64gb")
+    p.add_argument("--corpus", default="/root/reference/bdna")
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--tsv")
+    p.add_argument("--json")
+    _add_scoring_args(p)
+    _add_engine_args(p)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("tune", help="sweep sharded-engine chunk depth")
+    p.add_argument("seq1")
+    p.add_argument("seq2")
+    p.add_argument("--values", default="256,512,1024,2048,4096")
+    p.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--tsv")
+    _add_scoring_args(p)
+    p.set_defaults(fn=cmd_tune)
+
+    p = sub.add_parser("info", help="backend and device info")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

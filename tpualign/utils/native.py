@@ -1,0 +1,100 @@
+"""ctypes loader/builder for the native support library (``native/``).
+
+Builds ``libbdna_tools.so`` on first use with the system ``g++`` (cached next
+to the source, keyed by an mtime check) and exposes typed wrappers.  Every
+caller must tolerate ``available() == False`` — environments without a
+toolchain fall back to the NumPy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SRC = os.path.join(_HERE, "native", "bdna_tools.cpp")
+LIB = os.path.join(_HERE, "native", "libbdna_tools.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(SRC):
+        return False
+    if os.path.exists(LIB) and os.path.getmtime(LIB) >= os.path.getmtime(SRC):
+        return True
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", LIB, SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _build():
+        return None
+    lib = ctypes.CDLL(LIB)
+    i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+    lib.bdna_generate.argtypes = [ctypes.c_uint64, ctypes.c_int64, i8p]
+    lib.bdna_generate.restype = None
+    lib.bdna_validate.argtypes = [i8p, ctypes.c_int64]
+    lib.bdna_validate.restype = ctypes.c_int64
+    lib.align_score_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.align_score_native.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def generate(length: int, seed: int = 0) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.empty(length, dtype=np.int8)
+    lib.bdna_generate(seed, length, out)
+    return out
+
+
+def validate(seq: np.ndarray) -> int:
+    """Index of first invalid byte, or -1."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    seq = np.ascontiguousarray(seq, dtype=np.int8)
+    return int(lib.bdna_validate(seq, seq.size))
+
+
+def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
+    """Independent native CPU scorer (validation oracle for big pairs)."""
+    from ..config import ScoringConfig
+
+    if cfg is None:
+        cfg = ScoringConfig()
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s1 = np.ascontiguousarray(s1, dtype=np.int8)
+    s2 = np.ascontiguousarray(s2, dtype=np.int8)
+    return int(
+        lib.align_score_native(
+            s1, s1.size, s2, s2.size,
+            cfg.match, cfg.mismatch, cfg.gap, 1 if cfg.is_local else 0,
+        )
+    )
