@@ -26,12 +26,15 @@ Layout and step structure:
   A flat shift-by-one is a lane roll plus a sublane roll of the lane-127
   column (``pltpu.roll``) — circular, wrapping the last element to slot 0.
 * The substitution operand ``s1[d-1-k]`` is a sliding reversed window of
-  ``s1``.  Instead of per-step scalar inserts (Mosaic forbids scalar VMEM
-  stores), the *entire* reversed, padded ``s1`` sits in one circular buffer
-  that rolls by one each step; the window is simply its first ``rows`` rows.
+  ``s1`` that rolls by one each step.  Mosaic forbids scalar VMEM stores and
+  dynamic lane indexing, so the per-step insert of ``s1[d-1]`` at slot 0 is
+  done fully vectorized: a dynamic *sublane* slice picks the (1, 128) row of
+  a staged copy of ``s1``, a lane-mask reduce extracts the element, and a
+  ``where`` on the (precomputed) slot-0 mask merges it into the rolled window.
 * Boundary cells (``H[0][j] = j*gap``, ``H[i][0] = i*gap``, ``serial.cpp:16-17``)
-  are applied with an iota mask ``where`` *before* the shift, so the shifted
-  copy inherits them — fully vectorized, no scalar stores anywhere.
+  mostly *emerge from the recurrence itself* (see the comment in the kernel
+  body): with dead slots at ~-2^30 the j=0 boundary column is produced by the
+  shifted previous boundary, and only slot 0 needs an explicit select.
 
 Out-of-band cells (``k > d`` or ``k < d-M``) are provably never read by valid
 cells (their dependencies stay in range), so no per-step masking is needed for
@@ -66,9 +69,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pad_to_grid(v: jax.Array, rows: int) -> jax.Array:
-    """Flat int32 vector -> (rows, 128) row-major buffer, zero padded."""
-    out = jnp.zeros((rows * LANES,), dtype=jnp.int32)
+def _pad_to_grid(v: jax.Array, rows: int, fill: int = 0) -> jax.Array:
+    """Flat int32 vector -> (rows, 128) row-major buffer, ``fill`` padded."""
+    out = jnp.full((rows * LANES,), fill, dtype=jnp.int32)
     out = jax.lax.dynamic_update_slice(out, v.astype(jnp.int32), (0,))
     return out.reshape(rows, LANES)
 
@@ -78,12 +81,13 @@ def _shift_down_one(v: jax.Array) -> jax.Array:
 
     In (sublane, lane) layout: a lane roll, with the lane-0 column patched from
     the previous sublane's lane-127 value (wrapping the buffer tail to slot 0).
+    Both rolls act on the full buffer — a narrow (rows, 1) strided roll would
+    serialize into per-sublane ops.
     """
     rolled = pltpu.roll(v, 1, axis=1)
-    col = rolled[:, 0:1]  # = v[:, 127]
-    colr = pltpu.roll(col, 1, axis=0)  # colr[r] = v[r-1, 127]
+    down = pltpu.roll(rolled, 1, axis=0)  # down[r, 0] = v[r-1, 127]
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    return jnp.where(lane == 0, colr, rolled)
+    return jnp.where(lane == 0, down, rolled)
 
 
 def _diag_kernel_body(
@@ -91,14 +95,14 @@ def _diag_kernel_body(
     m: int,
     rows: int,
     cfg: ScoringConfig,
-    b0_ref,
+    s1_ref,
     s2v_ref,
     out_ref,
     a0_ref,
     a0s_ref,
     a1_ref,
     a1s_ref,
-    b_ref,
+    w_ref,
     v_ref,
 ):
     """See module docstring.  n = len(s2) (diagonal/buffer axis), m = len(s1)."""
@@ -108,52 +112,100 @@ def _diag_kernel_body(
     local = cfg.is_local
     total = n + m  # diagonals 1..total
 
-    zero = jnp.zeros((rows, LANES), dtype=jnp.int32)
-    a0_ref[:] = zero  # holds diag 0: H(0,0)=0 at k=0; rest never read
-    a0s_ref[:] = zero  # shift(diag 0): zero at k=1 required
-    a1_ref[:] = zero
-    a1s_ref[:] = zero
-    b_ref[:] = b0_ref[:]  # circular reversed-s1 feed
-    if local:
-        v_ref[:] = zero
-
     k_flat = (
         jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     )
     k_is0 = k_flat == 0
 
-    def substep(d, a_ref, as_ref, oa_ref, oas_ref):
-        # advance the reversed-s1 window: b_flat[k] = s1[d-1-k] (dead slots pad)
-        b_ref[:] = _shift_down_one(b_ref[:])
-        sub = jnp.where(s2v_ref[:] == b_ref[0:rows, :], match, mismatch)
-        new = jnp.maximum(
-            oas_ref[:] + sub,  # oas still holds shift(diag d-2)
-            jnp.maximum(a_ref[:], as_ref[:]) + g,
+    # Global mode: boundaries *emerge from the recurrence*.  With all dead
+    # slots initialized to ~-2^30, the j=0 boundary cell at slot k=d computes
+    # itself: its only live dependency is As[d] = (previous boundary) + gap,
+    # both dead candidates staying ~NEG (they drift by <= |match| per step).
+    # Valid-region values can leak upward into the tail slots (k > n) with a
+    # +gap-per-step decay chain and eventually wrap into slot 0 through the
+    # circular shift — which is why slot 0 (the i=0 boundary, value d*gap) is
+    # the single slot still fixed with a select.  Requires gap <= 0.
+    # Local mode keeps explicit masking: the zero floor would otherwise let
+    # dead slots accrete garbage matches above the true maximum.
+    #
+    # State is two (diagonal, shifted-copy) buffer pairs alternating by
+    # parity; entering step d the pair written two steps ago still holds
+    # shift(diag d-2), so each step performs exactly one shift (of its own
+    # fresh output) and no buffer copies.
+    if local:
+        zero = jnp.zeros((rows, LANES), dtype=jnp.int32)
+        a0_ref[:] = zero
+        a0s_ref[:] = zero
+        a1_ref[:] = zero
+        a1s_ref[:] = zero
+        v_ref[:] = zero
+    else:
+        neg = jnp.full((rows, LANES), NEG_INF, jnp.int32)
+        a0_ref[:] = jnp.where(k_is0, 0, neg)  # diag 0: H(0,0) = 0
+        a0s_ref[:] = jnp.where(k_flat == 1, 0, neg)  # its shifted copy
+        a1_ref[:] = neg
+        a1s_ref[:] = neg
+    w_ref[:] = jnp.zeros((rows, LANES), dtype=jnp.int32)  # reversed-s1 window
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def advance_window(w, d):
+        # w_flat[k] = s1[d-1-k].  New element s1[d-1] enters at slot 0
+        # (clamped index: d-1 >= m only feeds dead columns); slots that rolled
+        # in before step 1 are dead likewise.  The (1,1) keepdims reduce keeps
+        # the element vector-resident (no vector->scalar-core roundtrip).
+        idx = jnp.minimum(d - 1, m - 1)
+        row = s1_ref[pl.ds(idx // LANES, 1), :]
+        val = jnp.max(
+            jnp.where(lane_row == idx % LANES, row, NEG_INF),
+            axis=1, keepdims=True,
         )
+        return jnp.where(k_is0, val, _shift_down_one(w))
+
+    def one_diag(d, w, a, as_, bs):
+        """Compute diagonal d from values; returns (new, sub window w)."""
+        w = advance_window(w, d)
+        sub = jnp.where(s2v_ref[:] == w, match, mismatch)
+        new = jnp.maximum(bs + sub, jnp.maximum(a, as_) + g)
         if local:
             new = jnp.maximum(new, 0)
-            # interior cells only: k=0 / k=d are boundaries (0 in SW), and the
-            # out-of-band region accretes garbage that must not feed the max
             valid = (k_flat >= jnp.maximum(1, d - m)) & (
                 k_flat <= jnp.minimum(d - 1, n)
             )
             v_ref[:] = jnp.maximum(v_ref[:], jnp.where(valid, new, NEG_INF))
-        # boundary cells (0, d) at k=0 and (d, 0) at k=d, applied BEFORE the
-        # shift so the shifted copy inherits them at k=1 / k=d+1.  For d > n
-        # the k==d slot is out-of-band (never read) so no guard is needed.
-        bval = jnp.int32(0) if local else d * g
-        new = jnp.where(k_is0 | (k_flat == d), bval, new)
+            new = jnp.where(k_is0 | (k_flat == d), 0, new)
+        else:
+            new = jnp.where(k_is0, d * g, new)
+        return new, w
+
+    def substep(d, a_ref, as_ref, oa_ref, oas_ref):
+        # oas still holds shift(diag d-2) on entry (written two steps ago)
+        new, w = one_diag(d, w_ref[:], a_ref[:], as_ref[:], oas_ref[:])
+        w_ref[:] = w
         oa_ref[:] = new
         oas_ref[:] = _shift_down_one(new)
 
+    # 2U substeps per loop iteration: amortizes loop control and lets the
+    # scheduler overlap the independent window-insert chains of consecutive
+    # steps; the (static) remainder runs after the loop so no step is guarded.
+    U = 4
+
+    def emit(d, u):
+        if u % 2 == 0:
+            substep(d, a0_ref, a0s_ref, a1_ref, a1s_ref)
+        else:
+            substep(d, a1_ref, a1s_ref, a0_ref, a0s_ref)
+
     def body(tt, _):
-        d0 = 2 * tt + 1
-        substep(d0, a0_ref, a0s_ref, a1_ref, a1s_ref)
-        substep(d0 + 1, a1_ref, a1s_ref, a0_ref, a0s_ref)
+        d0 = 2 * U * tt + 1
+        for u in range(2 * U):
+            emit(d0 + u, u)
         return 0
 
-    jax.lax.fori_loop(0, (total + 1) // 2, body, 0, unroll=False)
+    done = (total // (2 * U)) * (2 * U)
+    jax.lax.fori_loop(0, total // (2 * U), body, 0, unroll=False)
+    for r in range(total - done):
+        emit(done + r + 1, r)
 
     if local:
         out_ref[0, 0] = jnp.max(v_ref[:])
@@ -163,21 +215,21 @@ def _diag_kernel_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "m", "rows", "brows", "cfg", "interpret")
+    jax.jit, static_argnames=("n", "m", "rows", "s1_rows", "cfg", "interpret")
 )
 def _diag_call(
-    b0: jax.Array,
+    s1_staged: jax.Array,
     s2v_pad: jax.Array,
     n: int,
     m: int,
     rows: int,
-    brows: int,
+    s1_rows: int,
     cfg: ScoringConfig,
     interpret: bool,
 ) -> jax.Array:
     kernel = functools.partial(_diag_kernel_body, n, m, rows, cfg)
     scratch = [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(4)]
-    scratch.append(pltpu.VMEM((brows, LANES), jnp.int32))
+    scratch.append(pltpu.VMEM((rows, LANES), jnp.int32))
     scratch.append(pltpu.VMEM((rows, LANES), jnp.int32))
     out = pl.pallas_call(
         kernel,
@@ -189,30 +241,33 @@ def _diag_call(
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(b0, s2v_pad)
+    )(s1_staged, s2v_pad)
     return out[0, 0]
 
 
 def _prepare(
     s1: jax.Array, s2: jax.Array
 ) -> Tuple[jax.Array, jax.Array, int, int, int, int]:
-    """Build the circular reversed-s1 feed and the shifted-s2 buffer.
-
-    The feed ``b0`` satisfies ``roll(b0, d)[k] = s1[d-1-k]`` wherever that
-    index is live, i.e. ``b0[t] = s1_ext[size-1-t]`` with ``s1_ext`` zero
-    padded to the buffer size (>= n+m+2 so no live slot is ever overrun).
-    """
+    """Stage ``s1`` row-major for per-step sublane access and build the
+    shifted-s2 buffer (``s2v[k] = s2[k-1]``)."""
     m = int(s1.shape[0])
     n = int(s2.shape[0])
     rows = _round_up(n + 2, GRAIN) // LANES
-    size = _round_up(n + m + 2, GRAIN)
-    brows = size // LANES
-    s1_ext = jnp.zeros((size,), dtype=jnp.int32)
-    s1_ext = jax.lax.dynamic_update_slice(s1_ext, s1.astype(jnp.int32), (0,))
-    b0 = jnp.flip(s1_ext).reshape(brows, LANES)
+    s1_rows = _round_up(m, GRAIN) // LANES
+    s1_staged = _pad_to_grid(s1.astype(jnp.int32), s1_rows)
     s2v = jnp.pad(s2.astype(jnp.int32), (1, 0), constant_values=-1)
-    s2v_pad = _pad_to_grid(s2v, rows)
-    return b0, s2v_pad, n, m, rows, brows
+    s2v_pad = _pad_to_grid(s2v, rows, fill=-1)
+    return s1_staged, s2v_pad, n, m, rows, s1_rows
+
+
+def _check_cfg(cfg: ScoringConfig, total: int) -> None:
+    """The natural-boundary global kernel needs gap <= 0 (always true for real
+    alignment scoring) and headroom so dead-slot drift stays inside int32."""
+    if not cfg.is_local and cfg.gap > 0:
+        raise ValueError("global Pallas kernel requires gap <= 0; use impl='xla'")
+    drift = total * max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
+    if drift > 2**29:
+        raise ValueError("scoring magnitudes too large for int32 headroom")
 
 
 def score(
@@ -240,8 +295,11 @@ def score(
             f"sequence too long for the VMEM-resident kernel "
             f"({s2.shape[0]} > {MAX_DIAG_ELEMS - 2}); use the sharded engine"
         )
-    b0, s2v_pad, n, m, rows, brows = _prepare(s1, s2)
-    return int(_diag_call(b0, s2v_pad, n, m, rows, brows, cfg, interpret))
+    _check_cfg(cfg, s1.shape[0] + s2.shape[0])
+    s1_staged, s2v_pad, n, m, rows, s1_rows = _prepare(s1, s2)
+    return int(
+        _diag_call(s1_staged, s2v_pad, n, m, rows, s1_rows, cfg, interpret)
+    )
 
 
 def score_fn(
@@ -258,9 +316,10 @@ def score_fn(
     """
     if n > m:
         raise ValueError("pass the longer sequence first (m >= n)")
+    _check_cfg(cfg, n + m)
 
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
-        b0, s2v_pad, _, _, rows, brows = _prepare(s1, s2)
-        return _diag_call(b0, s2v_pad, n, m, rows, brows, cfg, interpret)
+        s1_staged, s2v_pad, _, _, rows, s1_rows = _prepare(s1, s2)
+        return _diag_call(s1_staged, s2v_pad, n, m, rows, s1_rows, cfg, interpret)
 
     return fn
