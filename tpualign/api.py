@@ -78,6 +78,16 @@ def align(
         from .ops import oracle
 
         return oracle.traceback(s1, s2, scoring)
+    impl = resolve_impl(engine)
+    if impl == "pallas":
+        from .ops import traceback_diag
+
+        try:
+            return traceback_diag.align_diag(
+                s1, s2, scoring, interpret=engine.interpret
+            )
+        except ValueError:  # config outside the Pallas kernel's envelope
+            pass
     from .ops import traceback as tb
 
     return tb.align_checkpointed(s1, s2, scoring, engine)

@@ -90,64 +90,65 @@ def _shift_down_one(v: jax.Array) -> jax.Array:
     return jnp.where(lane == 0, down, rolled)
 
 
-def _diag_kernel_body(
-    n: int,
-    m: int,
-    rows: int,
-    cfg: ScoringConfig,
-    s1_ref,
-    s2v_ref,
-    out_ref,
-    a0_ref,
-    a0s_ref,
-    a1_ref,
-    a1s_ref,
-    w_ref,
-    v_ref,
+#: substeps fused per loop iteration (amortizes loop control and lets the
+#: scheduler overlap the independent window-insert chains of adjacent steps)
+UNROLL = 8
+
+
+def _wavefront_core(
+    n, m, rows, cfg, s1_ref, s2v_ref, w_ref, v_ref, a_refs, dbest_ref=None
 ):
-    """See module docstring.  n = len(s2) (diagonal/buffer axis), m = len(s1)."""
+    """Shared wavefront machinery: returns ``(init, emit, k_flat)``.
+
+    ``init()`` seeds the state; ``emit(d, u)`` runs diagonal ``d`` where ``u``
+    is its (static) position in an unrolled run starting at an odd diagonal.
+
+    Global mode: boundaries *emerge from the recurrence*.  With all dead
+    slots initialized to ~-2^30, the j=0 boundary cell at slot k=d computes
+    itself: its only live dependency is As[d] = (previous boundary) + gap,
+    both dead candidates staying ~NEG (they drift by <= |match| per step).
+    Valid-region values can leak upward into the tail slots (k > n) with a
+    +gap-per-step decay chain and eventually wrap into slot 0 through the
+    circular shift — which is why slot 0 (the i=0 boundary, value d*gap) is
+    the single slot still fixed with a select.  Requires gap <= 0.
+    Local mode keeps explicit masking: the zero floor would otherwise let
+    dead slots accrete garbage matches above the true maximum.
+
+    State is two (diagonal, shifted-copy) buffer pairs alternating by
+    parity; entering step d the pair written two steps ago still holds
+    shift(diag d-2), so each step performs exactly one shift (of its own
+    fresh output) and no buffer copies.
+    """
     match = jnp.int32(cfg.match)
     mismatch = jnp.int32(cfg.mismatch)
     g = jnp.int32(cfg.gap)
     local = cfg.is_local
-    total = n + m  # diagonals 1..total
+    a0_ref, a0s_ref, a1_ref, a1s_ref = a_refs
 
     k_flat = (
         jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     )
     k_is0 = k_flat == 0
-
-    # Global mode: boundaries *emerge from the recurrence*.  With all dead
-    # slots initialized to ~-2^30, the j=0 boundary cell at slot k=d computes
-    # itself: its only live dependency is As[d] = (previous boundary) + gap,
-    # both dead candidates staying ~NEG (they drift by <= |match| per step).
-    # Valid-region values can leak upward into the tail slots (k > n) with a
-    # +gap-per-step decay chain and eventually wrap into slot 0 through the
-    # circular shift — which is why slot 0 (the i=0 boundary, value d*gap) is
-    # the single slot still fixed with a select.  Requires gap <= 0.
-    # Local mode keeps explicit masking: the zero floor would otherwise let
-    # dead slots accrete garbage matches above the true maximum.
-    #
-    # State is two (diagonal, shifted-copy) buffer pairs alternating by
-    # parity; entering step d the pair written two steps ago still holds
-    # shift(diag d-2), so each step performs exactly one shift (of its own
-    # fresh output) and no buffer copies.
-    if local:
-        zero = jnp.zeros((rows, LANES), dtype=jnp.int32)
-        a0_ref[:] = zero
-        a0s_ref[:] = zero
-        a1_ref[:] = zero
-        a1s_ref[:] = zero
-        v_ref[:] = zero
-    else:
-        neg = jnp.full((rows, LANES), NEG_INF, jnp.int32)
-        a0_ref[:] = jnp.where(k_is0, 0, neg)  # diag 0: H(0,0) = 0
-        a0s_ref[:] = jnp.where(k_flat == 1, 0, neg)  # its shifted copy
-        a1_ref[:] = neg
-        a1s_ref[:] = neg
-    w_ref[:] = jnp.zeros((rows, LANES), dtype=jnp.int32)  # reversed-s1 window
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    def init():
+        if local:
+            zero = jnp.zeros((rows, LANES), dtype=jnp.int32)
+            a0_ref[:] = zero
+            a0s_ref[:] = zero
+            a1_ref[:] = zero
+            a1s_ref[:] = zero
+            v_ref[:] = zero
+            if dbest_ref is not None:
+                dbest_ref[:] = zero
+        else:
+            neg = jnp.full((rows, LANES), NEG_INF, jnp.int32)
+            a0_ref[:] = jnp.where(k_is0, 0, neg)  # diag 0: H(0,0) = 0
+            a0s_ref[:] = jnp.where(k_flat == 1, 0, neg)  # its shifted copy
+            a1_ref[:] = neg
+            a1s_ref[:] = neg
+        w_ref[:] = jnp.zeros((rows, LANES), dtype=jnp.int32)
 
     def advance_window(w, d):
         # w_flat[k] = s1[d-1-k].  New element s1[d-1] enters at slot 0
@@ -172,7 +173,13 @@ def _diag_kernel_body(
             valid = (k_flat >= jnp.maximum(1, d - m)) & (
                 k_flat <= jnp.minimum(d - 1, n)
             )
-            v_ref[:] = jnp.maximum(v_ref[:], jnp.where(valid, new, NEG_INF))
+            masked = jnp.where(valid, new, NEG_INF)
+            if dbest_ref is not None:
+                improved = masked > v_ref[:]
+                dbest_ref[:] = jnp.where(improved, d, dbest_ref[:])
+                v_ref[:] = jnp.where(improved, masked, v_ref[:])
+            else:
+                v_ref[:] = jnp.maximum(v_ref[:], masked)
             new = jnp.where(k_is0 | (k_flat == d), 0, new)
         else:
             new = jnp.where(k_is0, d * g, new)
@@ -185,33 +192,109 @@ def _diag_kernel_body(
         oa_ref[:] = new
         oas_ref[:] = _shift_down_one(new)
 
-    # 2U substeps per loop iteration: amortizes loop control and lets the
-    # scheduler overlap the independent window-insert chains of consecutive
-    # steps; the (static) remainder runs after the loop so no step is guarded.
-    U = 4
-
     def emit(d, u):
         if u % 2 == 0:
             substep(d, a0_ref, a0s_ref, a1_ref, a1s_ref)
         else:
             substep(d, a1_ref, a1s_ref, a0_ref, a0s_ref)
 
+    return init, emit, k_flat
+
+
+def _diag_kernel_body(
+    n: int,
+    m: int,
+    rows: int,
+    cfg: ScoringConfig,
+    s1_ref,
+    s2v_ref,
+    out_ref,
+    a0_ref,
+    a0s_ref,
+    a1_ref,
+    a1s_ref,
+    w_ref,
+    v_ref,
+):
+    """See module docstring.  n = len(s2) (diagonal/buffer axis), m = len(s1)."""
+    total = n + m  # diagonals 1..total
+    init, emit, k_flat = _wavefront_core(
+        n, m, rows, cfg, s1_ref, s2v_ref, w_ref, v_ref,
+        (a0_ref, a0s_ref, a1_ref, a1s_ref),
+    )
+    init()
+
     def body(tt, _):
-        d0 = 2 * U * tt + 1
-        for u in range(2 * U):
+        d0 = UNROLL * tt + 1
+        for u in range(UNROLL):
             emit(d0 + u, u)
         return 0
 
-    done = (total // (2 * U)) * (2 * U)
-    jax.lax.fori_loop(0, total // (2 * U), body, 0, unroll=False)
-    for r in range(total - done):
+    done = (total // UNROLL) * UNROLL
+    jax.lax.fori_loop(0, total // UNROLL, body, 0, unroll=False)
+    for r in range(total - done):  # static remainder: no guarded steps
         emit(done + r + 1, r)
 
-    if local:
+    if cfg.is_local:
         out_ref[0, 0] = jnp.max(v_ref[:])
     else:
         final_ref = a1_ref if total % 2 == 1 else a0_ref
         out_ref[0, 0] = jnp.max(jnp.where(k_flat == n, final_ref[:], NEG_INF))
+
+
+def _diag_ckpt_kernel_body(
+    n: int,
+    m: int,
+    rows: int,
+    k_stride: int,
+    groups: int,
+    cfg: ScoringConfig,
+    s1_ref,
+    s2v_ref,
+    # outputs
+    cka_ref,  # (groups, rows, LANES) ANY: diag c*K   (even parity buffer)
+    ckb_ref,  # (groups, rows, LANES) ANY: diag c*K-1 (odd parity buffer)
+    v_out,  # (rows, LANES) VMEM: SW running max (unused for NW)
+    dbest_out,  # (rows, LANES) VMEM: SW argmax diagonal (unused for NW)
+    # scratch
+    a0_ref,
+    a0s_ref,
+    a1_ref,
+    a1s_ref,
+    w_ref,
+    sem,
+):
+    """Checkpointing wavefront: spill the (diag cK, diag cK-1) state pair to
+    HBM before each K-step group.  The host-side diagonal-band traceback
+    (``ops/traceback_diag.py``) exactly refills any band from one checkpoint.
+    The last group may overrun past the final diagonal — the overrun steps
+    compute dead values that no checkpoint or consumer ever reads."""
+    assert k_stride % UNROLL == 0 and k_stride % 2 == 0
+    init, emit, _ = _wavefront_core(
+        n, m, rows, cfg, s1_ref, s2v_ref, w_ref, v_out,
+        (a0_ref, a0s_ref, a1_ref, a1s_ref),
+        dbest_ref=dbest_out if cfg.is_local else None,
+    )
+    init()
+
+    def group(c, _):
+        dma_a = pltpu.make_async_copy(a0_ref, cka_ref.at[c], sem.at[0])
+        dma_b = pltpu.make_async_copy(a1_ref, ckb_ref.at[c], sem.at[1])
+        dma_a.start()
+        dma_b.start()
+        dma_a.wait()
+        dma_b.wait()
+
+        def body(tt, _):
+            d0 = c * k_stride + UNROLL * tt + 1
+            for u in range(UNROLL):
+                emit(d0 + u, u)
+            return 0
+
+        jax.lax.fori_loop(0, k_stride // UNROLL, body, 0, unroll=False)
+        return 0
+
+    jax.lax.fori_loop(0, groups, group, 0, unroll=False)
 
 
 @functools.partial(
@@ -243,6 +326,88 @@ def _diag_call(
         interpret=interpret,
     )(s1_staged, s2v_pad)
     return out[0, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "rows", "k_stride", "groups", "cfg", "interpret"),
+)
+def _diag_ckpt_call(
+    s1_staged: jax.Array,
+    s2v_pad: jax.Array,
+    n: int,
+    m: int,
+    rows: int,
+    k_stride: int,
+    groups: int,
+    cfg: ScoringConfig,
+    interpret: bool,
+):
+    kernel = functools.partial(
+        _diag_ckpt_kernel_body, n, m, rows, k_stride, groups, cfg
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((groups, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((groups, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    scratch = [pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(5)]
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(s1_staged, s2v_pad)
+
+
+def forward_checkpoints(
+    s1,
+    s2,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    k_stride: int = 1024,
+    interpret: bool = False,
+):
+    """Run the wavefront spilling diagonal-pair checkpoints every ``k_stride``
+    steps.  Orientation is preserved (``s1`` = columns, ``s2`` = rows — the
+    diagonal buffer axis); no swap, since the caller recovers a path.
+
+    Returns ``(cka, ckb, v, dbest, rows, groups)`` as device arrays:
+    ``cka[c]`` = diagonal ``c*k_stride``, ``ckb[c]`` = diagonal ``c*k_stride-1``
+    (flat (rows,128) buffers, dead slots ~-2^30 for NW / garbage for SW);
+    ``v``/``dbest`` = SW per-slot running max and its diagonal index.
+    """
+    s1 = jnp.asarray(s1, dtype=jnp.int32)
+    s2 = jnp.asarray(s2, dtype=jnp.int32)
+    m, n = int(s1.shape[0]), int(s2.shape[0])
+    if n + 2 > MAX_DIAG_ELEMS:
+        raise ValueError("s2 too long for the VMEM-resident kernel")
+    _check_cfg(cfg, n + m)
+    k_stride = _round_up(k_stride, UNROLL)
+    total = n + m
+    groups = -(-total // k_stride)
+    s1_staged, s2v_pad, n, m, rows, s1_rows = _prepare(s1, s2)
+    return (
+        *_diag_ckpt_call(
+            s1_staged, s2v_pad, n, m, rows, k_stride, groups, cfg, interpret
+        ),
+        rows,
+        groups,
+    )
 
 
 def _prepare(
