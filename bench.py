@@ -38,7 +38,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from tpualign.config import ScoringConfig
-    from tpualign.ops import pallas_diag, xla as xla_ops
+    from tpualign.ops import bitpal, xla as xla_ops
 
     s1, s2 = load_pair()
     if len(s2) > len(s1):
@@ -46,7 +46,8 @@ def main() -> None:
     cells = len(s1) * len(s2)
 
     if jax.default_backend() == "tpu":
-        fn = jax.jit(pallas_diag.score_fn(len(s1), len(s2), ScoringConfig()))
+        # flagship engine: bit-parallel wavefront, 31 DP cells per lane word
+        fn = jax.jit(bitpal.score_fn(len(s1), len(s2), ScoringConfig()))
     else:  # degraded environment: portable engine so the bench still reports
         fn = jax.jit(xla_ops.score_fn(ScoringConfig()))
 

@@ -1,0 +1,86 @@
+"""Bit-parallel engine: bigint spec vs scalar oracle, Pallas kernel vs spec.
+
+The bigint implementation is the executable specification of the plane
+algebra (derived in ``ops/bitpal.py``); the Pallas kernel must agree with it
+bit-exactly, and both must agree with the scalar DP oracle — the same
+cross-implementation score-equality discipline the reference used across its
+16 kernels (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from tpualign.config import AlignMode, ScoringConfig
+from tpualign.io.bdna import random_pair
+from tpualign.ops import bitpal, oracle
+
+from conftest import reference_pair
+
+UNIT = ScoringConfig()  # (1, 0, -1): the reference scheme
+
+
+def test_supported_scale():
+    assert bitpal.supported_scale(UNIT) == 1
+    assert bitpal.supported_scale(ScoringConfig(match=3, mismatch=0, gap=-3)) == 3
+    assert bitpal.supported_scale(ScoringConfig(match=2, mismatch=1, gap=-2)) is None
+    assert bitpal.supported_scale(ScoringConfig(gap=-2)) is None
+    assert bitpal.supported_scale(ScoringConfig(mode=AlignMode.LOCAL)) is None
+
+
+@pytest.mark.parametrize("name", ["debug", "small", "t"])
+def test_bigint_matches_oracle_corpus(name):
+    s1, s2 = reference_pair(name)
+    assert bitpal.score_bigint(s1, s2) == oracle.score(s1, s2, UNIT)
+
+
+def test_bigint_matches_oracle_random(rng):
+    for _ in range(120):
+        m = int(rng.integers(1, 150))
+        n = int(rng.integers(1, 150))
+        a = int(rng.integers(1, 5))
+        s1 = rng.integers(1, a + 1, m).astype(np.int8)
+        s2 = rng.integers(1, a + 1, n).astype(np.int8)
+        assert bitpal.score_bigint(s1, s2) == oracle.score(s1, s2, UNIT), (
+            m, n, a, s1.tolist(), s2.tolist())
+
+
+@pytest.mark.parametrize(
+    "m,n",
+    [(1, 1), (1, 40), (40, 1), (30, 30), (31, 31), (32, 33), (62, 61),
+     (63, 64), (93, 200), (200, 93), (130, 130)],
+)
+def test_kernel_matches_bigint_word_edges(m, n):
+    s1, s2 = random_pair(m, n, seed=m * 1000 + n)
+    got = bitpal.score(s1, s2, UNIT, interpret=True)
+    assert got == bitpal.score_bigint(s1, s2)
+
+
+def test_kernel_matches_oracle_random(rng):
+    for _ in range(15):
+        m = int(rng.integers(1, 300))
+        n = int(rng.integers(1, 300))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        assert bitpal.score(s1, s2, UNIT, interpret=True) == oracle.score(
+            s1, s2, UNIT
+        )
+
+
+def test_kernel_scaled_scoring():
+    s1, s2 = random_pair(90, 77, seed=5)
+    cfg = ScoringConfig(match=4, mismatch=0, gap=-4)
+    assert bitpal.score(s1, s2, cfg, interpret=True) == oracle.score(s1, s2, cfg)
+
+
+def test_kernel_empty_and_unsupported():
+    s1, s2 = random_pair(10, 10, seed=0)
+    assert bitpal.score(np.empty(0, np.int8), s2, UNIT) == -10
+    with pytest.raises(ValueError):
+        bitpal.score(s1, s2, ScoringConfig(gap=-2))
+
+
+def test_kernel_multiword_slots(rng):
+    # >128 words forces multiple sublane rows of word slots
+    m, n = 129 * bitpal.WORD + 7, 500
+    s1, s2 = random_pair(m, n, seed=77)
+    assert bitpal.score(s1, s2, UNIT, interpret=True) == bitpal.score_bigint(
+        s1, s2
+    )

@@ -25,11 +25,25 @@ def _platform() -> str:
     return jax.default_backend()
 
 
-def resolve_impl(engine: EngineConfig) -> str:
-    """Resolve ``impl='auto'`` to a concrete engine for this process."""
+def resolve_impl(
+    engine: EngineConfig, scoring: Optional[ScoringConfig] = None
+) -> str:
+    """Resolve ``impl='auto'`` to a concrete engine for this process.
+
+    On TPU, scoring schemes in the bit-parallel family ``(k, 0, -k)`` — which
+    includes the reference's compiled-in constants — get the 31-cells-per-word
+    engine; everything else gets the general wavefront kernel.
+    """
     if engine.impl != "auto":
         return engine.impl
-    return "pallas" if _platform() == "tpu" else "xla"
+    if _platform() != "tpu":
+        return "xla"
+    if scoring is not None:
+        from .ops import bitpal
+
+        if bitpal.supported_scale(scoring) is not None:
+            return "bitpal"
+    return "pallas"
 
 
 def align_score(
@@ -43,11 +57,15 @@ def align_score(
     Semantics identical to the reference serial kernel (``serial.cpp:16-31``)
     for global mode; local mode adds the Smith-Waterman zero floor.
     """
-    impl = resolve_impl(engine)
+    impl = resolve_impl(engine, scoring)
     if impl == "oracle":
         from .ops import oracle
 
         return oracle.score(s1, s2, scoring)
+    if impl == "bitpal":
+        from .ops import bitpal
+
+        return bitpal.score(s1, s2, scoring, interpret=engine.interpret)
     if impl == "xla":
         from .ops import xla
 

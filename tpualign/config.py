@@ -71,14 +71,14 @@ class EngineConfig:
     ``sentinel-otf-blocked-mt.cpp:5-6``, swept by ``src/block-tune.sh``).
     """
 
-    impl: str = "auto"  # auto | pallas | xla | oracle
+    impl: str = "auto"  # auto | bitpal | pallas | xla | oracle
     chunk_rows: int = 2048
     tile_rows: int = 256
     tile_cols: int = 512
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
 
     def __post_init__(self) -> None:
-        if self.impl not in ("auto", "pallas", "xla", "oracle"):
+        if self.impl not in ("auto", "bitpal", "pallas", "xla", "oracle"):
             raise ValueError(f"unknown impl {self.impl!r}")
         if self.chunk_rows <= 0 or self.tile_rows <= 0 or self.tile_cols <= 0:
             raise ValueError("chunk/tile dims must be positive")

@@ -1,0 +1,420 @@
+"""Bit-parallel NW scoring kernel: 31 DP cells per int32 lane word.
+
+Motivation
+----------
+The reference's entire performance program (ILP bit tricks ``serial.cpp:23-31``,
+cache blocking, sentinel wavefront threads, MPI strips) still spends ~10 scalar
+ops per DP cell.  The wavefront Pallas kernel (``ops/pallas_diag.py``) brings
+that to ~10 *vector* ops per 128-lane diagonal slice.  This engine removes the
+per-cell cost itself: for the reference's scoring scheme (MATCH=1, MISMATCH=0,
+GAP=-1, ``needleman-wunsch.hpp:11-13``) adjacent-cell score differences are
+bounded, so the DP state compresses to a few *bits* per cell and one VPU op
+advances 31 cells per lane — the Myers (1999) / BitPAl (Loving, Hernandez &
+Benson 2014) bit-parallel technique, re-derived for this scheme and laid out
+as a word-level anti-diagonal wavefront across the 8x128 vector unit.
+
+Derivation (match=1, mismatch=0, gap=-1)
+----------------------------------------
+Let ``v = H(i,j) - H(i-1,j)`` (vertical delta) and ``h = H(i,j) - H(i,j-1)``
+(horizontal delta).  Both lie in ``{-1, 0, 1, 2}``: the gap branch bounds them
+below by -1, and ``H(i-1,j-1) >= H(i-1,j) - 1`` bounds them above by 2.
+Subtracting ``H(i-1,j-1)`` from the recurrence gives, per cell, with inputs
+``v_in = v(i, j-1)``, ``h_in = h(i-1, j)`` and match bit ``s``:
+
+    T    = max(s, h_in - 1, v_in - 1)    # = H(i,j) - H(i-1,j-1)
+    h_out = T - v_in;   v_out = T - h_in
+
+Since ``h_in - 1 <= 1`` and ``v_in - 1 <= 1``, ``T`` is *binary*:
+``T = 1  iff  s or v_in = 2 or h_in = 2``, else 0 — a single "promotion bit"
+``P``.  The only intra-column dependency is the ``h_in = 2`` chain:
+``h_out = 2  iff  P and v_in = -1``, so a promotion ripples down exactly
+through runs of ``v_in = -1`` cells — resolved for 31 rows at once by one
+carry-propagating add (Myers' trick), seeded by ``S = Eq | (v_in = 2)``:
+
+    received = ((Vm1 + (S & Vm1) + c_in) ^ Vm1) & MASK31;   P = S | received
+
+where ``Vm1`` is the ``v = -1`` indicator word and ``c_in`` the promotion
+carried in from the word above.  Everything else is boolean plane algebra on
+one-hot indicators of ``v`` and ``h`` (tables in ``_plane_step``).
+
+Word-wavefront layout on the VPU
+--------------------------------
+The query sequence is cut into 31-row words (bit 31 reserved so the carry out
+of the add is readable as a plane bit); word ``w`` lives at flat slot ``w`` of
+``(rows, 128)`` int32 VMEM buffers.  Word ``w`` at text column ``j`` depends
+only on step ``d-1`` state (itself at column ``j-1``; word ``w-1`` at column
+``j`` via its bottom ``h_out``), so step ``d`` computes column ``d - w`` for
+*every* word simultaneously: a 2-D wavefront over (word, column) with all
+cross-word traffic expressed as a one-slot shift of packed top-bit planes.
+No sentinel/progress-index machinery survives (cf. ``src/sentinel``,
+``src/idxarray``): the schedule is static.
+
+Cost: ~85 vector ops advance ``31 * nw`` cells (nw = word count), i.e.
+~2.4 lane-ops per cell — an order of magnitude under the per-cell wavefront.
+Score is recovered from the final column's vertical deltas:
+``H(n, m) = m * gap + sum_i v(i, m)`` via ``population_count`` outside the
+kernel.
+
+Scope: global alignment (NW) with scoring ``(k, 0, -k)`` — the reference's
+scheme is ``k = 1``; the score scales exactly by ``k``.  Other configurations
+dispatch to the general wavefront kernel (``api.resolve_impl``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ScoringConfig
+from .pallas_diag import (
+    GRAIN,
+    LANES,
+    SUBLANES,
+    _round_up,
+    _shift_down_one,
+)
+
+WORD = 31  # DP rows per int32 lane word (bit 31 = carry-out of the Myers add)
+MASK31 = (1 << WORD) - 1
+ALPHABET = 4  # .bdna base codes 1..4 (README.md:8); 0 = padding, never matches
+
+#: fused steps per loop iteration (amortizes loop control)
+UNROLL = 8
+
+#: VMEM guard: word count per (rows,128) plane set (9 planes resident)
+MAX_WORDS = 512 * 1024
+
+
+def supported_scale(cfg: ScoringConfig) -> Optional[int]:
+    """Return ``k`` if ``cfg`` is global ``(k, 0, -k)`` scoring, else None.
+
+    ``score(k,0,-k) = k * score(1,0,-1)`` exactly (every alignment's score
+    scales by k), so the unit-scheme kernel serves the whole family.
+    """
+    if cfg.is_local:
+        return None
+    k = cfg.match
+    if k > 0 and cfg.mismatch == 0 and cfg.gap == -k:
+        return k
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation: whole column in one Python bigint
+# ---------------------------------------------------------------------------
+
+
+def score_bigint(s1, s2) -> int:
+    """Bit-parallel NW score with unit scheme via arbitrary-precision ints.
+
+    One bigint per indicator plane holds the whole column; Python's bigint add
+    propagates the promotion carry across all rows at once.  This is the
+    executable specification the Pallas kernel is tested against (itself
+    validated against the scalar DP oracle, ``ops/oracle.py``).
+    """
+    s1 = np.asarray(s1)
+    s2 = np.asarray(s2)
+    m, n = int(s1.size), int(s2.size)
+    if m == 0 or n == 0:
+        return -(m + n)
+    mask = (1 << n) - 1
+    eq = [0] * (ALPHABET + 1)
+    for i, c in enumerate(np.asarray(s2, np.int64)):
+        if 1 <= c <= ALPHABET:
+            eq[int(c)] |= 1 << i
+    vm1, v0, v1, v2 = mask, 0, 0, 0
+    for c in np.asarray(s1, np.int64):
+        E = eq[int(c)] if 1 <= c <= ALPHABET else 0
+        S = E | v2
+        received = (((S & vm1) + vm1) ^ vm1) & mask  # h_top=-1 -> no carry-in
+        P = S | received
+        nP = mask ^ P
+        h2 = P & vm1
+        h1 = (P & v0) | (nP & vm1)
+        h0 = (P & v1) | (nP & v0)
+        hm1 = (P & v2) | (nP & v1)
+        h2i = (h2 << 1) & mask
+        h1i = (h1 << 1) & mask
+        h0i = (h0 << 1) & mask
+        hm1i = ((hm1 << 1) | 1) & mask  # top boundary: Dh(0,j) = gap
+        v2 = P & hm1i
+        v1 = (P & h0i) | (nP & hm1i)
+        v0 = (P & h1i) | (nP & h0i)
+        vm1 = (P & h2i) | (nP & h1i)
+    return -m + bin(v1).count("1") + 2 * bin(v2).count("1") - bin(vm1).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _plane_step(E, vm1, v0, v1, v2, h2, h1, h0, hm1):
+    """One word-column update in indicator planes.
+
+    Inputs: match word ``E``, one-hot ``v`` planes, one-hot ``h_top`` bit
+    planes (value 0/1 words: the delta entering each word's top row).
+    Returns new ``v`` planes and the packed top-bit word for the next step.
+
+    Tables (P = promotion bit): ``h_out = P - v_in``, ``v_out = P - h_in``::
+
+        h_out:  2 <- P&(v=-1)   1 <- P&(v=0) | ~P&(v=-1)
+                0 <- P&(v=1) | ~P&(v=0)     -1 <- P&(v=2) | ~P&(v=1)
+        (P=0 & v=2 cannot occur: v=2 seeds P.)
+    """
+    S = E | v2
+    summ = vm1 + (S & vm1) + h2  # carry-in = (h_top == 2)
+    received = (summ ^ vm1) & MASK31
+    P = S | received
+    nP = P ^ MASK31
+    H2 = P & vm1
+    H1 = (P & v0) | (nP & vm1)
+    H0 = (P & v1) | (nP & v0)
+    Hm1 = (P & v2) | (nP & v1)
+    # top bits (row WORD-1) packed for the next word / next step; bit layout
+    # [h=2, h=1, h=0, h=-1] at bits 0..3
+    tp = (
+        ((H2 >> (WORD - 1)) & 1)
+        | ((H1 >> (WORD - 2)) & 2)
+        | ((H0 >> (WORD - 3)) & 4)
+        | ((Hm1 >> (WORD - 4)) & 8)
+    )
+    # h_in planes: shift each h_out down one row, inject h_top at row 0
+    H2i = ((H2 << 1) & MASK31) | h2
+    H1i = ((H1 << 1) & MASK31) | h1
+    H0i = ((H0 << 1) & MASK31) | h0
+    Hm1i = ((Hm1 << 1) & MASK31) | hm1
+    v2n = P & Hm1i
+    v1n = (P & H0i) | (nP & Hm1i)
+    v0n = (P & H1i) | (nP & H0i)
+    vm1n = (P & H2i) | (nP & H1i)
+    return vm1n, v0n, v1n, v2n, tp
+
+
+def _bitpal_kernel_body(
+    mt: int,
+    rows: int,
+    total: int,
+    text_ref,
+    eq_ref,  # (ALPHABET, rows, LANES) match planes per base code
+    vm1_out,
+    v1_out,
+    v2_out,
+    v0_ref,
+    t_ref,
+    w_ref,
+):
+    """See module docstring.  ``mt`` = text length (columns), ``rows`` x 128
+    flat slots hold the query's 31-row words."""
+    k_flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    )
+    k_is0 = k_flat == 0
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eq = [eq_ref[c] for c in range(ALPHABET)]
+
+    vm1_out[:] = jnp.full((rows, LANES), MASK31, jnp.int32)  # v = gap column 0
+    v0_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    v1_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    v2_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    t_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    w_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+
+    def step(d):
+        # text-char window: w[k] = text[d-1-k] (slot k is at column d-k)
+        idx = jnp.minimum(d - 1, mt - 1)
+        row = text_ref[pl.ds(idx // LANES, 1), :]
+        val = jnp.max(
+            jnp.where(lane_row == idx % LANES, row, 0), axis=1, keepdims=True
+        )
+        win = jnp.where(k_is0, val, _shift_down_one(w_ref[:]))
+        w_ref[:] = win
+        # select the match plane for each slot's text char; the win == 0
+        # (pre-start) fallthrough picks eq[3] harmlessly: such slots and all
+        # their downstream consumers are frozen by the update mask below
+        E = jnp.where(
+            win == 1,
+            eq[0],
+            jnp.where(win == 2, eq[1], jnp.where(win == 3, eq[2], eq[3])),
+        )
+        # h_top: previous step's packed top bits from the word above;
+        # word 0's top row is the DP boundary row: Dh(0,j) = gap -> bit 3
+        tsh = jnp.where(k_is0, 8, _shift_down_one(t_ref[:]))
+        h2 = tsh & 1
+        h1 = (tsh >> 1) & 1
+        h0 = (tsh >> 2) & 1
+        hm1 = (tsh >> 3) & 1
+        vm1n, v0n, v1n, v2n, tp = _plane_step(
+            E, vm1_out[:], v0_ref[:], v1_out[:], v2_out[:], h2, h1, h0, hm1
+        )
+        # freeze words outside their live column range [1, mt]: pre-start
+        # words must stay at the column-0 state, finished words hold their
+        # final (column mt) deltas, which the score reduction reads
+        upd = (k_flat <= d - 1) & (k_flat >= d - mt)
+        vm1_out[:] = jnp.where(upd, vm1n, vm1_out[:])
+        v0_ref[:] = jnp.where(upd, v0n, v0_ref[:])
+        v1_out[:] = jnp.where(upd, v1n, v1_out[:])
+        v2_out[:] = jnp.where(upd, v2n, v2_out[:])
+        t_ref[:] = tp
+
+    def body(tt, _):
+        d0 = UNROLL * tt + 1
+        for u in range(UNROLL):
+            step(d0 + u)
+        return 0
+
+    # total is pre-rounded to UNROLL; overrun steps find no live word (the
+    # update mask is empty once d > mt + nw - 1) and change nothing
+    jax.lax.fori_loop(0, total // UNROLL, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mt", "rows", "total", "interpret")
+)
+def _bitpal_call(
+    text_staged: jax.Array,
+    eq_planes: jax.Array,
+    mt: int,
+    rows: int,
+    total: int,
+    interpret: bool,
+):
+    kernel = functools.partial(_bitpal_kernel_body, mt, rows, total)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(3)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)
+        ),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(3)],
+        interpret=interpret,
+    )(text_staged, eq_planes)
+
+
+def _stage(seq: jax.Array, rows: int, fill: int = 0) -> jax.Array:
+    out = jnp.full((rows * LANES,), fill, dtype=jnp.int32)
+    out = jax.lax.dynamic_update_slice(out, seq.astype(jnp.int32), (0,))
+    return out.reshape(rows, LANES)
+
+
+def _eq_planes(query: jax.Array, nq: int, nw: int, rows: int) -> jax.Array:
+    """(ALPHABET, rows, 128) int32: bit ``b`` of word ``w`` of plane ``c-1``
+    set iff ``query[31w + b] == c``."""
+    qpad = jnp.zeros((nw * WORD,), jnp.int32)
+    qpad = jax.lax.dynamic_update_slice(qpad, query.astype(jnp.int32), (0,))
+    bits = qpad.reshape(nw, WORD)
+    weights = jnp.asarray([1 << b for b in range(WORD)], jnp.int32)
+    planes = []
+    for c in range(1, ALPHABET + 1):
+        words = jnp.sum(
+            jnp.where(bits == c, weights[None, :], 0), axis=1, dtype=jnp.int32
+        )
+        planes.append(_stage(words, rows))
+    return jnp.stack(planes)
+
+
+def _layout(nq: int, mt: int):
+    """Static geometry: words, padded rows, rounded step count."""
+    nw = -(-nq // WORD)
+    rows = _round_up(nw, GRAIN) // LANES
+    total = _round_up(mt + nw - 1, UNROLL)
+    return nw, rows, total
+
+
+def _orientation(m: int, n: int):
+    """Choose which sequence becomes the query (bit axis): minimize padded
+    work = steps x padded slots.  Ties go to the longer query (fewer steps)."""
+
+    def cost(nq, mt):
+        nw, rows, total = _layout(nq, mt)
+        return total * rows * LANES
+
+    return cost(m, n) <= cost(n, m)  # True: s1 is the query
+
+
+def _valid_mask(nq: int, nw: int, rows: int) -> np.ndarray:
+    mask = np.zeros(rows * LANES, np.int32)
+    mask[:nw] = MASK31
+    r = nq - WORD * (nw - 1)
+    mask[nw - 1] = (1 << r) - 1
+    return mask.reshape(rows, LANES)
+
+
+def _reduce_score(planes, valid, mt: int) -> jax.Array:
+    vm1, v1, v2 = (p & valid for p in planes)
+    pc = lambda x: jnp.sum(jax.lax.population_count(x))  # noqa: E731
+    return -mt + pc(v1) + 2 * pc(v2) - pc(vm1)
+
+
+def score(
+    s1,
+    s2,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    interpret: bool = False,
+) -> int:
+    """NW score via the bit-parallel kernel (scoring family ``(k, 0, -k)``)."""
+    k = supported_scale(cfg)
+    if k is None:
+        raise ValueError(
+            "bitpal engine requires global (k, 0, -k) scoring; use impl="
+            "'pallas' or 'xla' for general configurations"
+        )
+    s1 = jnp.asarray(s1, jnp.int32)
+    s2 = jnp.asarray(s2, jnp.int32)
+    m, n = int(s1.shape[0]), int(s2.shape[0])
+    if m == 0 or n == 0:
+        return cfg.gap * (m + n)
+    fn = score_fn(m, n, cfg, interpret=interpret)
+    return int(fn(s1, s2))
+
+
+def score_fn(
+    m: int,
+    n: int,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    interpret: bool = False,
+):
+    """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
+    ``n = len(s2)``."""
+    k = supported_scale(cfg)
+    if k is None:
+        raise ValueError("bitpal engine requires global (k, 0, -k) scoring")
+    if m == 0 or n == 0:
+        return lambda s1, s2: jnp.int32(cfg.gap * (m + n))
+    s1_is_query = _orientation(m, n)
+    nq, mt = (m, n) if s1_is_query else (n, m)
+    nw, rows, total = _layout(nq, mt)
+    if nw > MAX_WORDS:
+        raise ValueError("sequence too long for the VMEM-resident kernel")
+    t_rows = _round_up(mt, GRAIN) // LANES
+    valid = jnp.asarray(_valid_mask(nq, nw, rows))
+
+    def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
+        query, text = (s1, s2) if s1_is_query else (s2, s1)
+        planes = _bitpal_call(
+            _stage(text.astype(jnp.int32), t_rows),
+            _eq_planes(query, nq, nw, rows),
+            mt,
+            rows,
+            total,
+            interpret,
+        )
+        return k * _reduce_score(planes, valid, mt)
+
+    return fn
