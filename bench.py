@@ -55,11 +55,36 @@ def main() -> None:
     d2 = jnp.asarray(s2, jnp.int32)
     score = int(fn(d1, d2).block_until_ready())  # compile + warmup
 
+    # Per-run time is measured by iterating the kernel K times inside ONE
+    # dispatch: host<->device round-trip latency (~30 ms through the axon
+    # tunnel) would otherwise dominate a ~25 ms kernel.  The scan carry
+    # perturbs the first input char of every iteration after the first, so
+    # no iteration can be CSEd or hoisted; iteration 0 computes the true
+    # score, which is checked against the golden value.
+    K = 8
+    sentinel = jnp.int32(-(2**30))
+
+    @jax.jit
+    def fn_k(a, b):
+        def body(carry, _):
+            a2 = a.at[0].set(
+                jnp.where(carry == sentinel, a[0], (carry & 3) + 1)
+            )
+            s = fn(a2, b)
+            return s, s
+
+        _, scores = jax.lax.scan(body, sentinel, None, length=K)
+        return scores
+
+    scores = fn_k(d1, d2)
+    scores.block_until_ready()  # compile + warmup
+    assert int(scores[0]) == score
+
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        fn(d1, d2).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+        fn_k(d1, d2).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / K)
 
     gcups = cells / best / 1e9
     print(

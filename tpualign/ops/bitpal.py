@@ -40,17 +40,28 @@ one-hot indicators of ``v`` and ``h`` (tables in ``_plane_step``).
 Word-wavefront layout on the VPU
 --------------------------------
 The query sequence is cut into 31-row words (bit 31 reserved so the carry out
-of the add is readable as a plane bit); word ``w`` lives at flat slot ``w`` of
-``(rows, 128)`` int32 VMEM buffers.  Word ``w`` at text column ``j`` depends
-only on step ``d-1`` state (itself at column ``j-1``; word ``w-1`` at column
-``j`` via its bottom ``h_out``), so step ``d`` computes column ``d - w`` for
-*every* word simultaneously: a 2-D wavefront over (word, column) with all
-cross-word traffic expressed as a one-slot shift of packed top-bit planes.
-No sentinel/progress-index machinery survives (cf. ``src/sentinel``,
-``src/idxarray``): the schedule is static.
+of the add is readable as a plane bit).  Word ``w`` at text column ``j``
+depends only on previous-step state (itself at column ``j-1``; word ``w-1``
+at column ``j`` via its bottom ``h_out``), so each step advances *every* word
+one column: a 2-D wavefront over (word, column).  No sentinel/progress-index
+machinery survives (cf. ``src/sentinel``, ``src/idxarray``): the schedule is
+static.
 
-Cost: ~85 vector ops advance ``31 * nw`` cells (nw = word count), i.e.
-~2.4 lane-ops per cell — an order of magnitude under the per-cell wavefront.
+The word -> vector-slot mapping is chosen around measured VPU costs: any
+lane-crossing shuffle (``pltpu.roll`` over lanes) costs ~80 cycles of latency
+while sublane concatenation costs ~6 and ALU ops ~1.7, so words are laid out
+**column-major** — word ``w`` lives at ``(row = w % rows, lane = w // rows)``
+— making the every-step neighbor hand-off (packed top-bit/char words) a pure
+sublane shift.  The once-per-lane boundary (row 0 needs ``(rows-1, lane-1)``)
+*would* still be a lane roll on the critical chain, so the schedule staggers
+word ``w`` by ``2w`` steps (column ``d - 2w`` at step ``d``): every hand-off
+— sublane shift and lane roll alike — is consumed two steps after it is
+produced, off the loop-carried dependency chain (ping-pong double buffers
+carry them across the gap).  Price: ``2 * nw`` ramp steps instead of ``nw``
+(~3% at corpus sizes).
+
+Cost: ~85 cheap vector ops advance ``31 * nw`` cells (nw = word count), i.e.
+~2.7 lane-ops per cell — an order of magnitude under the per-cell wavefront.
 Score is recovered from the final column's vertical deltas:
 ``H(n, m) = m * gap + sum_i v(i, m)`` via ``population_count`` outside the
 kernel.
@@ -85,7 +96,7 @@ MASK31 = (1 << WORD) - 1
 ALPHABET = 4  # .bdna base codes 1..4 (README.md:8); 0 = padding, never matches
 
 #: fused steps per loop iteration (amortizes loop control)
-UNROLL = 8
+UNROLL = 16
 
 #: VMEM guard: word count per (rows,128) plane set (9 planes resident)
 MAX_WORDS = 512 * 1024
@@ -169,8 +180,12 @@ def _plane_step(E, vm1, v0, v1, v2, h2, h1, h0, hm1):
         (P=0 & v=2 cannot occur: v=2 seeds P.)
     """
     S = E | v2
-    summ = vm1 + (S & vm1) + h2  # carry-in = (h_top == 2)
-    received = (summ ^ vm1) & MASK31
+    # E & vm1 == S & vm1 (v2 and vm1 are disjoint one-hots) — keeps S off
+    # the chain to `summ`.  `received` keeps a junk bit 31 (the carry out of
+    # the add); it flows into P/nP only, and every consumer plane is masked
+    # to 31 bits by construction, so no explicit MASK31 is needed here.
+    summ = vm1 + (E & vm1) + h2  # carry-in = (h_top == 2)
+    received = summ ^ vm1
     P = S | received
     nP = P ^ MASK31
     H2 = P & vm1
@@ -207,16 +222,25 @@ def _bitpal_kernel_body(
     v1_out,
     v2_out,
     v0_ref,
-    t_ref,
-    w_ref,
+    cta_ref,
+    ctb_ref,
+    pend_ref,
 ):
-    """See module docstring.  ``mt`` = text length (columns), ``rows`` x 128
-    flat slots hold the query's 31-row words."""
-    k_flat = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    )
-    k_is0 = k_flat == 0
+    """See module docstring.  ``mt`` = text length (columns); word ``w`` of
+    the query lives at slot ``(w % rows, w // rows)`` (column-major) and
+    computes column ``d - 2w`` at step ``d``.
+
+    ``cta``/``ctb`` carry each word's per-step hand-off to its successor,
+    packed as ``(text char << 4) | top-bit one-hot of h_out``, ping-ponged by
+    step parity: the 2-steps-per-word stagger means a successor consumes
+    hand-offs that are two steps old, so the sublane concat shift, the char
+    unpack, and the match-plane select all run a full step ahead of their
+    consumer — off the loop-carried dependency chain, which reduces to the
+    core plane recurrence.  ``pend_ref`` rows 0/1 ping-pong the lane-rolled
+    tail row serving the next lane's row 0, likewise two steps later."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    offs = 2 * (row_i + rows * lane_i)  # step offset of word slot = 2w
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
@@ -224,54 +248,67 @@ def _bitpal_kernel_body(
     v0_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
     v1_out[:] = jnp.zeros((rows, LANES), jnp.int32)
     v2_out[:] = jnp.zeros((rows, LANES), jnp.int32)
-    t_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
-    w_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    cta_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    ctb_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
 
-    def step(d):
-        # text-char window: w[k] = text[d-1-k] (slot k is at column d-k)
+    def step(d, u):
+        # word 0 takes the fresh text char (its column is d) and the DP
+        # boundary row's horizontal delta (Dh(0,j) = gap -> h_top bit 3);
+        # other lanes' row 0 takes the two-step-old rolled tail row.
+        # The char comes from SMEM via the scalar core (8 chars per int32):
+        # a vector-lane extract here would put an ~80-cycle cross-lane
+        # reduce on the loop-carried dependency chain
+        ct_ref = cta_ref if u % 2 == 0 else ctb_ref
         idx = jnp.minimum(d - 1, mt - 1)
-        row = text_ref[pl.ds(idx // LANES, 1), :]
-        val = jnp.max(
-            jnp.where(lane_row == idx % LANES, row, 0), axis=1, keepdims=True
+        val = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+        pend_row = pend_ref[u % 2 : u % 2 + 1, :]
+        row0 = jnp.where(lane_row == 0, (val << 4) | 8, pend_row)
+        cts = jnp.where(
+            row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0)
         )
-        win = jnp.where(k_is0, val, _shift_down_one(w_ref[:]))
-        w_ref[:] = win
-        # select the match plane for each slot's text char; the win == 0
-        # (pre-start) fallthrough picks eq[3] harmlessly: such slots and all
-        # their downstream consumers are frozen by the update mask below
+        win = cts >> 4
+        # select the match plane for each slot's text char (balanced tree:
+        # two levels deep off the chain); the win == 0 (pre-start)
+        # fallthrough picks eq[1] harmlessly: such slots and all their
+        # downstream consumers are frozen by the update mask below
         E = jnp.where(
-            win == 1,
-            eq[0],
-            jnp.where(win == 2, eq[1], jnp.where(win == 3, eq[2], eq[3])),
+            win <= 2,
+            jnp.where(win == 1, eq[0], eq[1]),
+            jnp.where(win == 3, eq[2], eq[3]),
         )
-        # h_top: previous step's packed top bits from the word above;
-        # word 0's top row is the DP boundary row: Dh(0,j) = gap -> bit 3
-        tsh = jnp.where(k_is0, 8, _shift_down_one(t_ref[:]))
-        h2 = tsh & 1
-        h1 = (tsh >> 1) & 1
-        h0 = (tsh >> 2) & 1
-        hm1 = (tsh >> 3) & 1
+        h2 = cts & 1
+        h1 = (cts >> 1) & 1
+        h0 = (cts >> 2) & 1
+        hm1 = (cts >> 3) & 1
         vm1n, v0n, v1n, v2n, tp = _plane_step(
             E, vm1_out[:], v0_ref[:], v1_out[:], v2_out[:], h2, h1, h0, hm1
         )
         # freeze words outside their live column range [1, mt]: pre-start
         # words must stay at the column-0 state, finished words hold their
         # final (column mt) deltas, which the score reduction reads
-        upd = (k_flat <= d - 1) & (k_flat >= d - mt)
+        upd = (offs <= d - 1) & (offs >= d - mt)
         vm1_out[:] = jnp.where(upd, vm1n, vm1_out[:])
         v0_ref[:] = jnp.where(upd, v0n, v0_ref[:])
         v1_out[:] = jnp.where(upd, v1n, v1_out[:])
         v2_out[:] = jnp.where(upd, v2n, v2_out[:])
-        t_ref[:] = tp
+        ctn = tp | (cts & ~jnp.int32(15))
+        ct_ref[:] = ctn  # read slot == write slot: consumed at step d+2
+        # tail hand-off to the next lane: rolled now, consumed at step d+2 —
+        # the ~80-cycle lane shuffle runs entirely off the dependency chain
+        pend_ref[u % 2 : u % 2 + 1, :] = pltpu.roll(
+            ctn[rows - 1 : rows, :], 1, axis=1
+        )
 
     def body(tt, _):
         d0 = UNROLL * tt + 1
         for u in range(UNROLL):
-            step(d0 + u)
+            step(d0 + u, u)
         return 0
 
     # total is pre-rounded to UNROLL; overrun steps find no live word (the
-    # update mask is empty once d > mt + nw - 1) and change nothing
+    # update mask is empty once every word is past column mt) and change
+    # nothing
     jax.lax.fori_loop(0, total // UNROLL, body, 0, unroll=False)
 
 
@@ -294,26 +331,44 @@ def _bitpal_call(
         kernel,
         out_shape=out_shape,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)
         ),
-        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32) for _ in range(3)],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),  # V0 plane
+            pltpu.VMEM((rows, LANES), jnp.int32),  # char/top-bit words, even
+            pltpu.VMEM((rows, LANES), jnp.int32),  # char/top-bit words, odd
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),  # rolled-tail ping-pong
+        ],
         interpret=interpret,
     )(text_staged, eq_planes)
 
 
-def _stage(seq: jax.Array, rows: int, fill: int = 0) -> jax.Array:
-    out = jnp.full((rows * LANES,), fill, dtype=jnp.int32)
-    out = jax.lax.dynamic_update_slice(out, seq.astype(jnp.int32), (0,))
-    return out.reshape(rows, LANES)
+def _pack_text(text: jax.Array, mt: int) -> jax.Array:
+    """Pack text chars 8-per-int32 (4 bits each) for SMEM scalar reads."""
+    n_words = -(-mt // 8)
+    tpad = jnp.zeros((n_words * 8,), jnp.int32)
+    tpad = jax.lax.dynamic_update_slice(tpad, text.astype(jnp.int32), (0,))
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    return jnp.sum(
+        tpad.reshape(n_words, 8) << shifts[None, :], axis=1, dtype=jnp.int32
+    )
+
+
+def _colmajor(words: jax.Array, rows: int) -> jax.Array:
+    """(nw,) word array -> (rows, 128) with word ``w`` at
+    ``(w % rows, w // rows)``."""
+    out = jnp.zeros((rows * LANES,), jnp.int32)
+    out = jax.lax.dynamic_update_slice(out, words.astype(jnp.int32), (0,))
+    return out.reshape(LANES, rows).T
 
 
 def _eq_planes(query: jax.Array, nq: int, nw: int, rows: int) -> jax.Array:
     """(ALPHABET, rows, 128) int32: bit ``b`` of word ``w`` of plane ``c-1``
-    set iff ``query[31w + b] == c``."""
+    set iff ``query[31w + b] == c``; words placed column-major."""
     qpad = jnp.zeros((nw * WORD,), jnp.int32)
     qpad = jax.lax.dynamic_update_slice(qpad, query.astype(jnp.int32), (0,))
     bits = qpad.reshape(nw, WORD)
@@ -323,15 +378,18 @@ def _eq_planes(query: jax.Array, nq: int, nw: int, rows: int) -> jax.Array:
         words = jnp.sum(
             jnp.where(bits == c, weights[None, :], 0), axis=1, dtype=jnp.int32
         )
-        planes.append(_stage(words, rows))
+        planes.append(_colmajor(words, rows))
     return jnp.stack(planes)
 
 
 def _layout(nq: int, mt: int):
-    """Static geometry: words, padded rows, rounded step count."""
+    """Static geometry: words, padded rows, rounded step count.
+
+    The last word's final column lands at step ``mt + 2 * (nw - 1)`` (the
+    kernel staggers word ``w`` by ``2w`` steps)."""
     nw = -(-nq // WORD)
     rows = _round_up(nw, GRAIN) // LANES
-    total = _round_up(mt + nw - 1, UNROLL)
+    total = _round_up(mt + 2 * (nw - 1), UNROLL)
     return nw, rows, total
 
 
@@ -351,7 +409,7 @@ def _valid_mask(nq: int, nw: int, rows: int) -> np.ndarray:
     mask[:nw] = MASK31
     r = nq - WORD * (nw - 1)
     mask[nw - 1] = (1 << r) - 1
-    return mask.reshape(rows, LANES)
+    return mask.reshape(LANES, rows).T  # column-major word placement
 
 
 def _reduce_score(planes, valid, mt: int) -> jax.Array:
@@ -402,13 +460,12 @@ def score_fn(
     nw, rows, total = _layout(nq, mt)
     if nw > MAX_WORDS:
         raise ValueError("sequence too long for the VMEM-resident kernel")
-    t_rows = _round_up(mt, GRAIN) // LANES
     valid = jnp.asarray(_valid_mask(nq, nw, rows))
 
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
         query, text = (s1, s2) if s1_is_query else (s2, s1)
         planes = _bitpal_call(
-            _stage(text.astype(jnp.int32), t_rows),
+            _pack_text(text, mt),
             _eq_planes(query, nq, nw, rows),
             mt,
             rows,
