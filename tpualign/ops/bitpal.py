@@ -95,8 +95,11 @@ WORD = 31  # DP rows per int32 lane word (bit 31 = carry-out of the Myers add)
 MASK31 = (1 << WORD) - 1
 ALPHABET = 4  # .bdna base codes 1..4 (README.md:8); 0 = padding, never matches
 
-#: fused steps per loop iteration (amortizes loop control)
-UNROLL = 16
+#: fused steps per loop iteration (amortizes loop control and gives the
+#: in-order VLIW scheduler a window of independent cross-step work);
+#: interpret mode (CPU tests) uses a small factor to keep traces tractable
+UNROLL = 32
+UNROLL_INTERPRET = 2
 
 #: VMEM guard: word count per (rows,128) plane set (9 planes resident)
 MAX_WORDS = 512 * 1024
@@ -166,45 +169,44 @@ def score_bigint(s1, s2) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _plane_step(E, vm1, v0, v1, v2, h2, h1, h0, hm1):
+def _plane_step(E, vm1, v0, v1, v2, u0, u1):
     """One word-column update in indicator planes.
 
-    Inputs: match word ``E``, one-hot ``v`` planes, one-hot ``h_top`` bit
-    planes (value 0/1 words: the delta entering each word's top row).
-    Returns new ``v`` planes and the packed top-bit word for the next step.
+    Inputs: match word ``E``, one-hot ``v`` planes, and the 2-bit binary
+    encoding ``(u0, u1)`` of the delta entering each word's top row
+    (``u = h_top + 1``, each a 0/1 word).  Returns new ``v`` planes and the
+    packed top-bit word (same 2-bit encoding) for the next step.
 
-    Tables (P = promotion bit): ``h_out = P - v_in``, ``v_out = P - h_in``::
-
-        h_out:  2 <- P&(v=-1)   1 <- P&(v=0) | ~P&(v=-1)
-                0 <- P&(v=1) | ~P&(v=0)     -1 <- P&(v=2) | ~P&(v=1)
-        (P=0 & v=2 cannot occur: v=2 seeds P.)
+    Tables (P = promotion bit): ``h_out = P - v_in``, ``v_out = P - h_in``;
+    ``P=0 & v=2`` cannot occur (v=2 seeds P), ``P=0 & h_in=2`` likewise.
     """
     S = E | v2
     # E & vm1 == S & vm1 (v2 and vm1 are disjoint one-hots) — keeps S off
     # the chain to `summ`.  `received` keeps a junk bit 31 (the carry out of
     # the add); it flows into P/nP only, and every consumer plane is masked
     # to 31 bits by construction, so no explicit MASK31 is needed here.
-    summ = vm1 + (E & vm1) + h2  # carry-in = (h_top == 2)
+    summ = vm1 + (E & vm1) + (u0 & u1)  # carry-in = (h_top == 2)
     received = summ ^ vm1
     P = S | received
     nP = P ^ MASK31
-    H2 = P & vm1
-    H1 = (P & v0) | (nP & vm1)
-    H0 = (P & v1) | (nP & v0)
-    Hm1 = (P & v2) | (nP & v1)
-    # top bits (row WORD-1) packed for the next word / next step; bit layout
-    # [h=2, h=1, h=0, h=-1] at bits 0..3
-    tp = (
-        ((H2 >> (WORD - 1)) & 1)
-        | ((H1 >> (WORD - 2)) & 2)
-        | ((H0 >> (WORD - 3)) & 4)
-        | ((Hm1 >> (WORD - 4)) & 8)
-    )
-    # h_in planes: shift each h_out down one row, inject h_top at row 0
-    H2i = ((H2 << 1) & MASK31) | h2
-    H1i = ((H1 << 1) & MASK31) | h1
-    H0i = ((H0 << 1) & MASK31) | h0
-    Hm1i = ((Hm1 << 1) & MASK31) | hm1
+    # h_out in 2-bit binary (u = h_out + 1): cheaper to pack/shift than the
+    # four one-hot planes.  u = P - v + 1:
+    #   bit0(u): P & (v=-1 | v=1)  |  ~P & (v=0)
+    #   bit1(u): P & (v=-1 | v=0)  |  ~P & (v=-1)
+    U0 = (P & (vm1 | v1)) | (nP & v0)
+    U1 = (P & (vm1 | v0)) | (nP & vm1)
+    # top bits (row WORD-1) packed for the next word / next step
+    tp = ((U0 >> (WORD - 1)) & 1) | ((U1 >> (WORD - 2)) & 2)
+    # h_in planes: shift down one row, inject h_top bits at row 0, then
+    # expand to one-hots for the v_out table
+    U0i = ((U0 << 1) & MASK31) | u0
+    U1i = ((U1 << 1) & MASK31) | u1
+    nU0i = U0i ^ MASK31
+    nU1i = U1i ^ MASK31
+    Hm1i = nU1i & nU0i
+    H0i = nU1i & U0i
+    H1i = U1i & nU0i
+    H2i = U1i & U0i
     v2n = P & Hm1i
     v1n = (P & H0i) | (nP & Hm1i)
     v0n = (P & H1i) | (nP & H0i)
@@ -216,6 +218,7 @@ def _bitpal_kernel_body(
     mt: int,
     rows: int,
     total: int,
+    unroll: int,
     text_ref,
     eq_ref,  # (ALPHABET, rows, LANES) match planes per base code
     vm1_out,
@@ -263,11 +266,12 @@ def _bitpal_kernel_body(
         idx = jnp.minimum(d - 1, mt - 1)
         val = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
         pend_row = pend_ref[u % 2 : u % 2 + 1, :]
-        row0 = jnp.where(lane_row == 0, (val << 4) | 8, pend_row)
+        # word 0's h_top is the boundary Dh(0,j) = gap: u = 0 -> low bits 00
+        row0 = jnp.where(lane_row == 0, val << 2, pend_row)
         cts = jnp.where(
             row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0)
         )
-        win = cts >> 4
+        win = cts >> 2
         # select the match plane for each slot's text char (balanced tree:
         # two levels deep off the chain); the win == 0 (pre-start)
         # fallthrough picks eq[1] harmlessly: such slots and all their
@@ -277,12 +281,10 @@ def _bitpal_kernel_body(
             jnp.where(win == 1, eq[0], eq[1]),
             jnp.where(win == 3, eq[2], eq[3]),
         )
-        h2 = cts & 1
-        h1 = (cts >> 1) & 1
-        h0 = (cts >> 2) & 1
-        hm1 = (cts >> 3) & 1
+        u0 = cts & 1
+        u1 = (cts >> 1) & 1
         vm1n, v0n, v1n, v2n, tp = _plane_step(
-            E, vm1_out[:], v0_ref[:], v1_out[:], v2_out[:], h2, h1, h0, hm1
+            E, vm1_out[:], v0_ref[:], v1_out[:], v2_out[:], u0, u1
         )
         # freeze words outside their live column range [1, mt]: pre-start
         # words must stay at the column-0 state, finished words hold their
@@ -292,7 +294,7 @@ def _bitpal_kernel_body(
         v0_ref[:] = jnp.where(upd, v0n, v0_ref[:])
         v1_out[:] = jnp.where(upd, v1n, v1_out[:])
         v2_out[:] = jnp.where(upd, v2n, v2_out[:])
-        ctn = tp | (cts & ~jnp.int32(15))
+        ctn = tp | (cts & ~jnp.int32(3))
         ct_ref[:] = ctn  # read slot == write slot: consumed at step d+2
         # tail hand-off to the next lane: rolled now, consumed at step d+2 —
         # the ~80-cycle lane shuffle runs entirely off the dependency chain
@@ -301,19 +303,19 @@ def _bitpal_kernel_body(
         )
 
     def body(tt, _):
-        d0 = UNROLL * tt + 1
-        for u in range(UNROLL):
+        d0 = unroll * tt + 1
+        for u in range(unroll):
             step(d0 + u, u)
         return 0
 
     # total is pre-rounded to UNROLL; overrun steps find no live word (the
     # update mask is empty once every word is past column mt) and change
     # nothing
-    jax.lax.fori_loop(0, total // UNROLL, body, 0, unroll=False)
+    jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mt", "rows", "total", "interpret")
+    jax.jit, static_argnames=("mt", "rows", "total", "unroll", "interpret")
 )
 def _bitpal_call(
     text_staged: jax.Array,
@@ -321,9 +323,10 @@ def _bitpal_call(
     mt: int,
     rows: int,
     total: int,
+    unroll: int,
     interpret: bool,
 ):
-    kernel = functools.partial(_bitpal_kernel_body, mt, rows, total)
+    kernel = functools.partial(_bitpal_kernel_body, mt, rows, total, unroll)
     out_shape = tuple(
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(3)
     )
@@ -382,14 +385,14 @@ def _eq_planes(query: jax.Array, nq: int, nw: int, rows: int) -> jax.Array:
     return jnp.stack(planes)
 
 
-def _layout(nq: int, mt: int):
+def _layout(nq: int, mt: int, unroll: int = UNROLL):
     """Static geometry: words, padded rows, rounded step count.
 
     The last word's final column lands at step ``mt + 2 * (nw - 1)`` (the
     kernel staggers word ``w`` by ``2w`` steps)."""
     nw = -(-nq // WORD)
     rows = _round_up(nw, GRAIN) // LANES
-    total = _round_up(mt + 2 * (nw - 1), UNROLL)
+    total = _round_up(mt + 2 * (nw - 1), unroll)
     return nw, rows, total
 
 
@@ -457,7 +460,8 @@ def score_fn(
         return lambda s1, s2: jnp.int32(cfg.gap * (m + n))
     s1_is_query = _orientation(m, n)
     nq, mt = (m, n) if s1_is_query else (n, m)
-    nw, rows, total = _layout(nq, mt)
+    unroll = UNROLL_INTERPRET if interpret else UNROLL
+    nw, rows, total = _layout(nq, mt, unroll)
     if nw > MAX_WORDS:
         raise ValueError("sequence too long for the VMEM-resident kernel")
     valid = jnp.asarray(_valid_mask(nq, nw, rows))
@@ -470,6 +474,7 @@ def score_fn(
             mt,
             rows,
             total,
+            unroll,
             interpret,
         )
         return k * _reduce_score(planes, valid, mt)
