@@ -45,6 +45,34 @@ class BenchResult:
         }
 
 
+def amortized(fn: Callable, iters: int) -> Callable:
+    """Wrap ``(seq1, seq2) -> score`` to run ``iters`` times in ONE dispatch.
+
+    Host<->device round-trip latency (tens of ms through a tunneled chip) can
+    dwarf a fast kernel; iterating on-device amortizes it.  The scan carry
+    perturbs the first input char of every iteration after the first so no
+    iteration can be CSEd or hoisted; iteration 0 returns the true score.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    sentinel = jnp.int32(-(2**30))
+
+    @jax.jit
+    def fn_k(a, b):
+        def body(carry, _):
+            a2 = a.at[0].set(
+                jnp.where(carry == sentinel, a[0], (carry & 3) + 1)
+            )
+            s = fn(a2, b)
+            return s, s
+
+        _, scores = jax.lax.scan(body, sentinel, None, length=iters)
+        return scores[0]
+
+    return fn_k
+
+
 def time_device_fn(
     fn: Callable,
     args: Sequence,
@@ -52,20 +80,33 @@ def time_device_fn(
     label: str,
     cells: int,
     runs: int = 3,
+    target_s: float = 0.25,
+    max_iters: int = 16,
 ) -> BenchResult:
     """Best/avg-of-N timing of a jitted device function (after one warmup).
 
     Mirrors the reference's statistical hygiene: ``block-tune.sh`` best-of-2,
     ``benchmark-threads.sh`` 3-run average, raw samples kept for error bars
-    (``data/multi-werror.tsv``).
+    (``data/multi-werror.tsv``).  Runs that finish well under ``target_s``
+    are re-dispatched with on-device iteration (:func:`amortized`) so
+    round-trip latency does not masquerade as kernel time; reported samples
+    are per-iteration.
     """
     out = fn(*args)
     score = int(np.asarray(jax_block(out)))
+    t0 = time.perf_counter()
+    jax_block(fn(*args))
+    t1 = time.perf_counter() - t0
+    iters = int(min(max_iters, max(1, round(target_s / max(t1, 1e-4)))))
+    if iters > 1:
+        fn = amortized(fn, iters)
+        got = int(np.asarray(jax_block(fn(*args))))  # compile + check
+        assert got == score, f"amortized wrapper broke the score: {got}"
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         jax_block(fn(*args))
-        samples.append(time.perf_counter() - t0)
+        samples.append((time.perf_counter() - t0) / iters)
     return BenchResult(
         label=label,
         cells=cells,

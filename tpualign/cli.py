@@ -45,7 +45,7 @@ def _add_scoring_args(p: argparse.ArgumentParser) -> None:
 
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--impl", choices=["auto", "pallas", "xla", "oracle"],
+    p.add_argument("--impl", choices=["auto", "bitpal", "pallas", "xla", "oracle"],
                    default="auto")
     p.add_argument("--chunk-rows", type=int, default=2048,
                    help="pipelined chunk depth for the sharded engine")
@@ -123,8 +123,14 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
     if len(s2) > len(s1):
         s1, s2 = s2, s1
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+        from .api import resolve_impl
+
+        impl = resolve_impl(EngineConfig(), scoring)
+    if impl == "bitpal":
+        from .ops import bitpal
+
+        fn = jax.jit(bitpal.score_fn(len(s1), len(s2), scoring))
+    elif impl == "pallas":
         from .ops import pallas_diag
 
         fn = jax.jit(pallas_diag.score_fn(len(s1), len(s2), scoring))
