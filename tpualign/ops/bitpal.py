@@ -314,6 +314,138 @@ def _bitpal_kernel_body(
     jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
 
 
+def _chunk_kernel_body(
+    mt: int,
+    rows: int,
+    t_steps: int,
+    unroll: int,
+    r_star: int,
+    # inputs
+    d0_ref,  # SMEM (1,): global step base of this chunk (q * T, even)
+    text_ref,  # SMEM (t_steps//8,): this chunk's chars, 8 per int32
+    ustream_ref,  # SMEM (t_steps//16,): word-0 h_top stream, 16 x 2b per int32
+    eq_ref,  # (ALPHABET, rows, LANES) match planes
+    vm1_in, v0_in, v1_in, v2_in, cta_in, ctb_in, pend_in,
+    # outputs
+    vm1_out, v0_out, v1_out, v2_out, cta_out, ctb_out, pend_out,
+    tail_out,  # (t_steps, LANES): row r_star of the hand-off buffer per step
+):
+    """Resumable T-step slice of the bit-parallel wavefront (multi-chip).
+
+    Same schedule and plane algebra as ``_bitpal_kernel_body`` with three
+    differences for the sharded pipeline (``parallel/bitpal_strips.py``):
+    state (v planes + hand-off ping-pongs) is carried in/out instead of
+    initialized, word 0's ``h_top`` comes from a per-column 2-bit stream (the
+    upstream chip's bottom h_out) instead of the constant DP boundary, and
+    row ``r_star`` — holding the chip's last real word — is captured per step
+    for the downstream chip.  ``t_steps`` and ``d0`` must be even so the
+    ping-pong parity is continuous across chunk boundaries."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    offs = 2 * (row_i + rows * lane_i)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eq = [eq_ref[c] for c in range(ALPHABET)]
+
+    vm1_out[:] = vm1_in[:]
+    v0_out[:] = v0_in[:]
+    v1_out[:] = v1_in[:]
+    v2_out[:] = v2_in[:]
+    cta_out[:] = cta_in[:]
+    ctb_out[:] = ctb_in[:]
+    pend_out[:] = pend_in[:]
+    d0 = d0_ref[0]
+
+    def step(dl, u):
+        d = d0 + dl  # global (chip-local cumulative) step
+        ct_ref = cta_out if u % 2 == 0 else ctb_out
+        val = (text_ref[(dl - 1) >> 3] >> (((dl - 1) & 7) << 2)) & 15
+        ub = (ustream_ref[(dl - 1) >> 4] >> (((dl - 1) & 15) << 1)) & 3
+        pend_row = pend_out[u % 2 : u % 2 + 1, :]
+        row0 = jnp.where(lane_row == 0, (val << 2) | ub, pend_row)
+        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
+        win = cts >> 2
+        E = jnp.where(
+            win <= 2,
+            jnp.where(win == 1, eq[0], eq[1]),
+            jnp.where(win == 3, eq[2], eq[3]),
+        )
+        u0 = cts & 1
+        u1 = (cts >> 1) & 1
+        vm1n, v0n, v1n, v2n, tp = _plane_step(
+            E, vm1_out[:], v0_out[:], v1_out[:], v2_out[:], u0, u1
+        )
+        upd = (offs <= d - 1) & (offs >= d - mt)
+        vm1_out[:] = jnp.where(upd, vm1n, vm1_out[:])
+        v0_out[:] = jnp.where(upd, v0n, v0_out[:])
+        v1_out[:] = jnp.where(upd, v1n, v1_out[:])
+        v2_out[:] = jnp.where(upd, v2n, v2_out[:])
+        ctn = tp | (cts & ~jnp.int32(3))
+        ct_ref[:] = ctn
+        tail_out[pl.ds(dl - 1, 1), :] = ctn[r_star : r_star + 1, :]
+        pend_out[u % 2 : u % 2 + 1, :] = pltpu.roll(
+            ctn[rows - 1 : rows, :], 1, axis=1
+        )
+
+    def body(tt, _):
+        dl0 = unroll * tt + 1
+        for u in range(unroll):
+            step(dl0 + u, u)
+        return 0
+
+    jax.lax.fori_loop(0, t_steps // unroll, body, 0, unroll=False)
+
+
+def chunk_call(
+    d0: jax.Array,  # (1,) int32, even
+    text_chunk: jax.Array,  # (t_steps//8,) packed chars
+    ustream: jax.Array,  # (t_steps//16,) packed 2-bit h_top values
+    eq_planes: jax.Array,
+    state,  # tuple of 7 arrays: vm1, v0, v1, v2, cta, ctb, pend
+    *,
+    mt: int,
+    rows: int,
+    t_steps: int,
+    r_star: int,
+    unroll: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Run one T-step chunk; returns ``(new_state, tail_rows)``."""
+    if unroll is None:
+        unroll = UNROLL_INTERPRET if interpret else UNROLL
+    assert t_steps % unroll == 0 and t_steps % 16 == 0
+    kernel = functools.partial(
+        _chunk_kernel_body, mt, rows, t_steps, unroll, r_star
+    )
+    state_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
+    out_shape = tuple(state_shapes) + (
+        jax.ShapeDtypeStruct((t_steps, LANES), jnp.int32),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[smem, smem, smem] + [vmem] * 8,
+        out_specs=tuple([vmem] * 8),
+        interpret=interpret,
+    )(d0, text_chunk, ustream, eq_planes, *state)
+    return out[:7], out[7]
+
+
+def init_chunk_state(rows: int):
+    """Initial kernel state: column-0 DP boundary (v = gap everywhere)."""
+    z = jnp.zeros((rows, LANES), jnp.int32)
+    return (
+        jnp.full((rows, LANES), MASK31, jnp.int32),  # vm1
+        z,  # v0
+        z,  # v1
+        z,  # v2
+        z,  # cta
+        z,  # ctb
+        jnp.zeros((SUBLANES, LANES), jnp.int32),  # pend
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("mt", "rows", "total", "unroll", "interpret")
 )
