@@ -1,0 +1,73 @@
+"""Hirschberg bisection: alignment optimality and validity vs the oracle.
+
+The invariant is optimality, not tie order: the recovered alignment must (a)
+reduce to the original sequences when gaps are stripped, and (b) score
+exactly the DP optimum (co-optimal paths may differ from the oracle's
+diag>up>left string)."""
+
+import numpy as np
+import pytest
+
+from tpualign.config import ScoringConfig
+from tpualign.io.bdna import BASES, random_pair
+from tpualign.ops import hirschberg, oracle
+
+UNIT = ScoringConfig()
+
+
+def _strip(a: str) -> str:
+    return a.replace("-", "")
+
+
+def _decode(seq) -> str:
+    return "".join(BASES[int(c)] for c in np.asarray(seq))
+
+
+def _check(m, n, seed, cfg=UNIT, base_cells=512):
+    s1, s2 = random_pair(m, n, seed=seed)
+    sc, a1, a2 = hirschberg.align(
+        s1, s2, cfg, interpret=True, base_cells=base_cells
+    )
+    assert len(a1) == len(a2)
+    assert _strip(a1) == _decode(s1)
+    assert _strip(a2) == _decode(s2)
+    assert not any(x == "-" and y == "-" for x, y in zip(a1, a2))
+    want = oracle.score(s1, s2, cfg)
+    assert sc == want, (m, n, seed, sc, want)
+
+
+@pytest.mark.parametrize(
+    "m,n", [(8, 8), (40, 37), (64, 100), (150, 90), (200, 210)]
+)
+def test_optimal_and_valid(m, n):
+    _check(m, n, seed=m + n)
+
+
+def test_deep_recursion_tiny_base():
+    # force several bisection levels
+    _check(120, 130, seed=1, base_cells=64)
+
+
+def test_scaled_scoring():
+    _check(90, 80, seed=2, cfg=ScoringConfig(match=3, mismatch=0, gap=-3))
+
+
+def test_degenerate_lengths():
+    _check(1, 50, seed=3)
+    _check(50, 1, seed=4)
+
+
+def test_matches_exact_traceback_score():
+    from tpualign.ops import traceback_diag  # noqa: F401  (parity neighbor)
+
+    s1, s2 = random_pair(70, 75, seed=5)
+    sc, a1, a2 = hirschberg.align(s1, s2, UNIT, interpret=True, base_cells=128)
+    want_sc, w1, w2 = oracle.traceback(s1, s2, UNIT)
+    assert sc == want_sc
+    assert oracle.alignment_score(w1, w2, UNIT) == want_sc
+
+
+def test_unsupported_cfg():
+    s1, s2 = random_pair(10, 10, seed=0)
+    with pytest.raises(ValueError):
+        hirschberg.align(s1, s2, ScoringConfig(gap=-2))

@@ -96,7 +96,14 @@ def align(
         from .ops import oracle
 
         return oracle.traceback(s1, s2, scoring)
-    impl = resolve_impl(engine)
+    impl = resolve_impl(engine, scoring)
+    if impl == "bitpal":
+        from .ops import hirschberg
+
+        # bit-parallel Hirschberg bisection: fastest large-alignment path;
+        # returns an optimal path whose tie order may differ from the
+        # oracle's diag>up>left convention (use impl='pallas' for that)
+        return hirschberg.align(s1, s2, scoring, interpret=engine.interpret)
     if impl == "pallas":
         from .ops import traceback_diag
 

@@ -315,20 +315,19 @@ def _bitpal_kernel_body(
 
 
 def _chunk_kernel_body(
-    mt: int,
     rows: int,
     t_steps: int,
     unroll: int,
-    r_star: int,
+    r_star: Optional[int],
     # inputs
-    d0_ref,  # SMEM (1,): global step base of this chunk (q * T, even)
+    d0_ref,  # SMEM (2,): [global step base of this chunk (q*T, even), mt]
     text_ref,  # SMEM (t_steps//8,): this chunk's chars, 8 per int32
     ustream_ref,  # SMEM (t_steps//16,): word-0 h_top stream, 16 x 2b per int32
     eq_ref,  # (ALPHABET, rows, LANES) match planes
     vm1_in, v0_in, v1_in, v2_in, cta_in, ctb_in, pend_in,
     # outputs
     vm1_out, v0_out, v1_out, v2_out, cta_out, ctb_out, pend_out,
-    tail_out,  # (t_steps, LANES): row r_star of the hand-off buffer per step
+    tail_out=None,  # (t_steps, LANES): row r_star of the hand-off buffer
 ):
     """Resumable T-step slice of the bit-parallel wavefront (multi-chip).
 
@@ -339,7 +338,10 @@ def _chunk_kernel_body(
     upstream chip's bottom h_out) instead of the constant DP boundary, and
     row ``r_star`` — holding the chip's last real word — is captured per step
     for the downstream chip.  ``t_steps`` and ``d0`` must be even so the
-    ping-pong parity is continuous across chunk boundaries."""
+    ping-pong parity is continuous across chunk boundaries.  ``mt`` (the true
+    text length, bounding the per-word freeze) is dynamic — callers with many
+    distinct segment shapes (the Hirschberg bisection) bucket their padded
+    shapes into a handful of compilations."""
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     offs = 2 * (row_i + rows * lane_i)
@@ -354,6 +356,7 @@ def _chunk_kernel_body(
     ctb_out[:] = ctb_in[:]
     pend_out[:] = pend_in[:]
     d0 = d0_ref[0]
+    mt = d0_ref[1]
 
     def step(dl, u):
         d = d0 + dl  # global (chip-local cumulative) step
@@ -381,7 +384,8 @@ def _chunk_kernel_body(
         v2_out[:] = jnp.where(upd, v2n, v2_out[:])
         ctn = tp | (cts & ~jnp.int32(3))
         ct_ref[:] = ctn
-        tail_out[pl.ds(dl - 1, 1), :] = ctn[r_star : r_star + 1, :]
+        if tail_out is not None:  # score-only callers skip the capture
+            tail_out[pl.ds(dl - 1, 1), :] = ctn[r_star : r_star + 1, :]
         pend_out[u % 2 : u % 2 + 1, :] = pltpu.roll(
             ctn[rows - 1 : rows, :], 1, axis=1
         )
@@ -396,40 +400,43 @@ def _chunk_kernel_body(
 
 
 def chunk_call(
-    d0: jax.Array,  # (1,) int32, even
+    d0_mt: jax.Array,  # (2,) int32: [step base (even), true text length mt]
     text_chunk: jax.Array,  # (t_steps//8,) packed chars
     ustream: jax.Array,  # (t_steps//16,) packed 2-bit h_top values
     eq_planes: jax.Array,
     state,  # tuple of 7 arrays: vm1, v0, v1, v2, cta, ctb, pend
     *,
-    mt: int,
     rows: int,
     t_steps: int,
-    r_star: int,
+    r_star: Optional[int],
     unroll: Optional[int] = None,
     interpret: bool = False,
 ):
-    """Run one T-step chunk; returns ``(new_state, tail_rows)``."""
+    """Run one T-step chunk; returns ``(new_state, tail_rows)``.
+
+    ``r_star=None`` skips the boundary-stream capture (score-only callers),
+    returning ``(new_state, None)`` and saving the (t_steps, 128) buffer."""
     if unroll is None:
         unroll = UNROLL_INTERPRET if interpret else UNROLL
     assert t_steps % unroll == 0 and t_steps % 16 == 0
     kernel = functools.partial(
-        _chunk_kernel_body, mt, rows, t_steps, unroll, r_star
+        _chunk_kernel_body, rows, t_steps, unroll, r_star
     )
     state_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
-    out_shape = tuple(state_shapes) + (
-        jax.ShapeDtypeStruct((t_steps, LANES), jnp.int32),
-    )
+    with_tail = r_star is not None
+    out_shape = tuple(state_shapes)
+    if with_tail:
+        out_shape += (jax.ShapeDtypeStruct((t_steps, LANES), jnp.int32),)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[smem, smem, smem] + [vmem] * 8,
-        out_specs=tuple([vmem] * 8),
+        out_specs=tuple([vmem] * (8 if with_tail else 7)),
         interpret=interpret,
-    )(d0, text_chunk, ustream, eq_planes, *state)
-    return out[:7], out[7]
+    )(d0_mt, text_chunk, ustream, eq_planes, *state)
+    return out[:7], (out[7] if with_tail else None)
 
 
 def init_chunk_state(rows: int):

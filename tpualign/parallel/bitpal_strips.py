@@ -97,7 +97,7 @@ def _pipeline_body(
         q = s - 2 * c
         active = (q >= 0) & (q < n_chunks)
         qc = jnp.clip(q, 0, n_chunks - 1)
-        d0 = (qc * t_steps).reshape(1)
+        d0_mt = jnp.stack([qc * t_steps, jnp.int32(mt)])
         tchunk = jax.lax.dynamic_slice(
             text_packed, (qc, 0), (1, t_steps // 8)
         )[0]
@@ -108,12 +108,11 @@ def _pipeline_body(
         packed = _pack2(spliced)
         ustream = jnp.where(c == 0, jnp.zeros_like(packed), packed)
         new_state, tail = bitpal.chunk_call(
-            d0.astype(jnp.int32),
+            d0_mt.astype(jnp.int32),
             tchunk,
             ustream,
             eq_planes,
             state,
-            mt=mt,
             rows=rows,
             t_steps=t_steps,
             r_star=r_star,
