@@ -84,3 +84,15 @@ def test_kernel_multiword_slots(rng):
     assert bitpal.score(s1, s2, UNIT, interpret=True) == bitpal.score_bigint(
         s1, s2
     )
+
+
+def test_chunked_text_path(rng):
+    # force the beyond-SMEM text path with a tiny cap
+    import jax.numpy as jnp
+    for _ in range(5):
+        m = int(rng.integers(100, 400))
+        n = int(rng.integers(5, 200))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        fn = bitpal.score_fn(m, n, UNIT, interpret=True, text_cap=64)
+        got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
+        assert got == oracle.score(s1, s2, UNIT), (m, n)

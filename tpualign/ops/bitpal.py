@@ -583,12 +583,19 @@ def score(
     return int(fn(s1, s2))
 
 
+#: single-dispatch text cap: packed text lives in SMEM (8 chars/int32) and
+#: ~2M chars (256 KB) fit comfortably; longer texts scan the resumable chunk
+#: kernel over text slices with state carried on-device
+TEXT_SMEM_CAP = 1 << 21
+
+
 def score_fn(
     m: int,
     n: int,
     cfg: ScoringConfig = ScoringConfig(),
     *,
     interpret: bool = False,
+    text_cap: int = TEXT_SMEM_CAP,
 ):
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)``."""
@@ -605,6 +612,12 @@ def score_fn(
         raise ValueError("sequence too long for the VMEM-resident kernel")
     valid = jnp.asarray(_valid_mask(nq, nw, rows))
 
+    if mt > text_cap:
+        return _score_chunked_fn(
+            s1_is_query, k, nq, mt, nw, rows, valid, unroll, text_cap,
+            interpret=interpret,
+        )
+
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
         query, text = (s1, s2) if s1_is_query else (s2, s1)
         planes = _bitpal_call(
@@ -616,6 +629,66 @@ def score_fn(
             unroll,
             interpret,
         )
+        return k * _reduce_score(planes, valid, mt)
+
+    return fn
+
+
+def _score_chunked_fn(
+    s1_is_query: bool,
+    k: int,
+    nq: int,
+    mt: int,
+    nw: int,
+    rows: int,
+    valid: jax.Array,
+    unroll: int,
+    text_cap: int,
+    interpret: bool = False,
+):
+    """Texts beyond the SMEM budget: ``lax.scan`` of the resumable chunk
+    kernel over text slices, bit-parallel state carried on-device.
+
+    Per-chunk SMEM holds text (4 bits/char) AND the zero h_top stream
+    (2 bits/col), so chunks cap at half the single-shot budget."""
+    t_steps = _round_up(min(text_cap, TEXT_SMEM_CAP // 2), max(unroll, 16))
+    n_chunks = -(-(mt + 2 * (nw - 1)) // t_steps)
+
+    def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
+        query, text = (s1, s2) if s1_is_query else (s2, s1)
+        eq = _eq_planes(query, nq, nw, rows)
+        tpad = jnp.zeros((n_chunks * t_steps,), jnp.int32)
+        tpad = jax.lax.dynamic_update_slice(tpad, text.astype(jnp.int32), (0,))
+        shifts = jnp.arange(8, dtype=jnp.int32) * 4
+        tpacked = jnp.sum(
+            tpad.reshape(n_chunks, t_steps // 8, 8) << shifts[None, None, :],
+            axis=2,
+            dtype=jnp.int32,
+        )
+        ustream = jnp.zeros((t_steps // 16,), jnp.int32)
+
+        def chunk(state, x):
+            q, tchunk = x
+            new_state, _ = chunk_call(
+                jnp.stack([q * t_steps, jnp.int32(mt)]),
+                tchunk,
+                ustream,
+                eq,
+                state,
+                rows=rows,
+                t_steps=t_steps,
+                r_star=None,
+                unroll=unroll,
+                interpret=interpret,
+            )
+            return new_state, None
+
+        state, _ = jax.lax.scan(
+            chunk,
+            init_chunk_state(rows),
+            (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
+        )
+        planes = (state[0], state[2], state[3])  # vm1, v1, v2
         return k * _reduce_score(planes, valid, mt)
 
     return fn
