@@ -172,33 +172,52 @@ def cmd_bench(args) -> int:
 
 
 def cmd_tune(args) -> int:
-    """Sweep the sharded engine's chunk depth (COMMBUF_SIZE successor)."""
+    """Sweep a sharded engine's chunk depth (COMMBUF_SIZE successor)."""
     import jax
 
     from .io.bdna import read_bdna
-    from .ops import oracle
-    from .parallel import strips
+    from .parallel import bitpal_strips, strips
     from .parallel.mesh import make_mesh
 
     s1, s2 = read_bdna(args.seq1), read_bdna(args.seq2)
     mesh = make_mesh(args.devices if args.devices > 0 else None)
+    use_bitpal = args.engine == "bitpal"
+    interpret = jax.devices()[0].platform != "tpu"
+    fns = {}  # chunk -> prepared zero-arg scorer (avoids per-run retraces)
+
+    def run(chunk):
+        if chunk not in fns:
+            if use_bitpal:
+                import jax.numpy as jnp
+
+                fn = bitpal_strips.score_fn(
+                    len(s1), len(s2), _scoring(args), mesh=mesh,
+                    chunk_cols=chunk, interpret=interpret,
+                )
+                d1 = jnp.asarray(np.asarray(s1), jnp.int32)
+                d2 = jnp.asarray(np.asarray(s2), jnp.int32)
+                fns[chunk] = lambda: int(fn(d1, d2))
+            else:
+                fns[chunk] = lambda: strips.score(
+                    s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk
+                )
+        return fns[chunk]()
+
     rows = []
     for chunk in (int(v) for v in args.values.split(",")):
-        t0 = time.perf_counter()
-        score = strips.score(s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk)
-        warm = time.perf_counter() - t0
+        score = run(chunk)  # compile + warmup
         samples = []
         for _ in range(args.runs):
             t0 = time.perf_counter()
-            strips.score(s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk)
+            run(chunk)
             samples.append(time.perf_counter() - t0)
         best = min(samples)
         gcups = len(s1) * len(s2) / best / 1e9
-        print(f"chunk_rows={chunk}\t{best*1e3:.2f} ms\t{gcups:.3f} GCUPS\tscore {score}")
+        print(f"chunk={chunk}\t{best*1e3:.2f} ms\t{gcups:.3f} GCUPS\tscore {score}")
         rows.append((chunk, best, gcups, score))
     if args.tsv:
         with open(args.tsv, "w") as f:
-            f.write("chunk_rows\tms_best\tgcups\tscore\n")
+            f.write("chunk\tms_best\tgcups\tscore\n")
             for chunk, best, gcups, score in rows:
                 f.write(f"{chunk}\t{best*1e3:.2f}\t{gcups:.3f}\t{score}\n")
     return 0
@@ -254,6 +273,8 @@ def main(argv: List[str] | None = None) -> int:
     p = sub.add_parser("tune", help="sweep sharded-engine chunk depth")
     p.add_argument("seq1")
     p.add_argument("seq2")
+    p.add_argument("--engine", choices=["strips", "bitpal"], default="strips",
+                   help="general strip pipeline or bit-parallel word bands")
     p.add_argument("--values", default="256,512,1024,2048,4096")
     p.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
     p.add_argument("--runs", type=int, default=3)

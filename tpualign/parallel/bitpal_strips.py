@@ -189,6 +189,7 @@ def score_fn(
         out_specs=Spec(AXIS), check_vma=False,
     )
 
+    @jax.jit
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
         eq = _eq_planes_sharded(s2, n, nw, nw_local, rows, P)
         text = _pack_text_chunks(s1, m, t_steps, n_chunks)
