@@ -83,13 +83,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ScoringConfig
-from .pallas_diag import (
-    GRAIN,
-    LANES,
-    SUBLANES,
-    _round_up,
-    _shift_down_one,
-)
+from .pallas_diag import GRAIN, LANES, SUBLANES, _round_up
 
 WORD = 31  # DP rows per int32 lane word (bit 31 = carry-out of the Myers add)
 MASK31 = (1 << WORD) - 1
@@ -169,49 +163,47 @@ def score_bigint(s1, s2) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _plane_step(E, vm1, v0, v1, v2, u0, u1):
-    """One word-column update in indicator planes.
+def _plane_step(E, b0, b1, u0, u1):
+    """One word-column update, both deltas in 2-bit binary planes.
 
-    Inputs: match word ``E``, one-hot ``v`` planes, and the 2-bit binary
-    encoding ``(u0, u1)`` of the delta entering each word's top row
-    (``u = h_top + 1``, each a 0/1 word).  Returns new ``v`` planes and the
-    packed top-bit word (same 2-bit encoding) for the next step.
+    ``(b0, b1)`` encode the stored vertical deltas (``enc = v + 1``, bit 0 /
+    bit 1 planes); ``(u0, u1)`` likewise encode the horizontal delta entering
+    each word's top row.  Returns new ``(b0, b1)`` and the packed bottom-row
+    hand-off word ``tp``.
 
-    Tables (P = promotion bit): ``h_out = P - v_in``, ``v_out = P - h_in``;
-    ``P=0 & v=2`` cannot occur (v=2 seeds P), ``P=0 & h_in=2`` likewise.
+    With P the promotion bit (``T = max(s, h-1, v-1)`` is binary for this
+    scheme, see module docstring): ``h_out = P - v_in`` gives, in encoding
+    space, ``u_out = P + (2 - enc_v)`` — and since ``v=-1 or v=1  <=>  bit0
+    clear`` etc., the one-hot tables collapse: ``bit0(u_out) = P & ~b0 | ~P &
+    (b0 & ~b1)``, ``bit1(u_out) = P & ~b1 | ~P & (~b0 & ~b1)``.  Symmetrically
+    ``enc_v_out = P + (2 - u_in)`` is a two-bit add: ``x = 2 - u_in`` has
+    ``x0 = u0_in`` and ``x1 = ~(u0_in ^ u1_in)``, then ``+P`` ripples one
+    carry.  The mod-4 wrap at ``u_in = 2, P = 1`` is exact (v_out = -1).
+
+    Bit-31 hygiene: ``received``/``P`` and (via the xor) ``b0`` may carry a
+    junk bit 31; every consumer masks it structurally (``&`` against a
+    31-bit plane, or the popcount validity mask), so no explicit MASK31.
     """
-    S = E | v2
-    # E & vm1 == S & vm1 (v2 and vm1 are disjoint one-hots) — keeps S off
-    # the chain to `summ`.  `received` keeps a junk bit 31 (the carry out of
-    # the add); it flows into P/nP only, and every consumer plane is masked
-    # to 31 bits by construction, so no explicit MASK31 is needed here.
+    nB0 = b0 ^ MASK31
+    nB1 = b1 ^ MASK31
+    vm1 = nB0 & nB1
+    S = E | (b0 & b1)  # seed: match or v = 2
+    # E & vm1 == S & vm1 (v=2 and v=-1 are disjoint) — keeps S off the chain
     summ = vm1 + (E & vm1) + (u0 & u1)  # carry-in = (h_top == 2)
     received = summ ^ vm1
     P = S | received
     nP = P ^ MASK31
-    # h_out in 2-bit binary (u = h_out + 1): cheaper to pack/shift than the
-    # four one-hot planes.  u = P - v + 1:
-    #   bit0(u): P & (v=-1 | v=1)  |  ~P & (v=0)
-    #   bit1(u): P & (v=-1 | v=0)  |  ~P & (v=-1)
-    U0 = (P & (vm1 | v1)) | (nP & v0)
-    U1 = (P & (vm1 | v0)) | (nP & vm1)
-    # top bits (row WORD-1) packed for the next word / next step
+    U0 = (P & nB0) | (nP & (b0 & nB1))
+    U1 = (P & nB1) | (nP & vm1)
+    # bottom bits (row WORD-1) packed for the next word / next step
     tp = ((U0 >> (WORD - 1)) & 1) | ((U1 >> (WORD - 2)) & 2)
-    # h_in planes: shift down one row, inject h_top bits at row 0, then
-    # expand to one-hots for the v_out table
+    # h_in planes: shift down one row, inject h_top bits at row 0
     U0i = ((U0 << 1) & MASK31) | u0
     U1i = ((U1 << 1) & MASK31) | u1
-    nU0i = U0i ^ MASK31
-    nU1i = U1i ^ MASK31
-    Hm1i = nU1i & nU0i
-    H0i = nU1i & U0i
-    H1i = U1i & nU0i
-    H2i = U1i & U0i
-    v2n = P & Hm1i
-    v1n = (P & H0i) | (nP & Hm1i)
-    v0n = (P & H1i) | (nP & H0i)
-    vm1n = (P & H2i) | (nP & H1i)
-    return vm1n, v0n, v1n, v2n, tp
+    x1 = (U0i ^ U1i) ^ MASK31
+    b0n = U0i ^ P
+    b1n = x1 ^ (U0i & P)
+    return b0n, b1n, tp
 
 
 def _bitpal_kernel_body(
@@ -221,10 +213,8 @@ def _bitpal_kernel_body(
     unroll: int,
     text_ref,
     eq_ref,  # (ALPHABET, rows, LANES) match planes per base code
-    vm1_out,
-    v1_out,
-    v2_out,
-    v0_ref,
+    b0_out,
+    b1_out,
     cta_ref,
     ctb_ref,
     pend_ref,
@@ -234,7 +224,7 @@ def _bitpal_kernel_body(
     computes column ``d - 2w`` at step ``d``.
 
     ``cta``/``ctb`` carry each word's per-step hand-off to its successor,
-    packed as ``(text char << 4) | top-bit one-hot of h_out``, ping-ponged by
+    packed as ``(text char << 2) | 2-bit h_out encoding``, ping-ponged by
     step parity: the 2-steps-per-word stagger means a successor consumes
     hand-offs that are two steps old, so the sublane concat shift, the char
     unpack, and the match-plane select all run a full step ahead of their
@@ -247,10 +237,9 @@ def _bitpal_kernel_body(
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
-    vm1_out[:] = jnp.full((rows, LANES), MASK31, jnp.int32)  # v = gap column 0
-    v0_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
-    v1_out[:] = jnp.zeros((rows, LANES), jnp.int32)
-    v2_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    # column-0 boundary: v = gap everywhere -> enc 0 -> both planes zero
+    b0_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    b1_out[:] = jnp.zeros((rows, LANES), jnp.int32)
     cta_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
     ctb_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
     pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
@@ -283,17 +272,13 @@ def _bitpal_kernel_body(
         )
         u0 = cts & 1
         u1 = (cts >> 1) & 1
-        vm1n, v0n, v1n, v2n, tp = _plane_step(
-            E, vm1_out[:], v0_ref[:], v1_out[:], v2_out[:], u0, u1
-        )
+        b0n, b1n, tp = _plane_step(E, b0_out[:], b1_out[:], u0, u1)
         # freeze words outside their live column range [1, mt]: pre-start
         # words must stay at the column-0 state, finished words hold their
         # final (column mt) deltas, which the score reduction reads
         upd = (offs <= d - 1) & (offs >= d - mt)
-        vm1_out[:] = jnp.where(upd, vm1n, vm1_out[:])
-        v0_ref[:] = jnp.where(upd, v0n, v0_ref[:])
-        v1_out[:] = jnp.where(upd, v1n, v1_out[:])
-        v2_out[:] = jnp.where(upd, v2n, v2_out[:])
+        b0_out[:] = jnp.where(upd, b0n, b0_out[:])
+        b1_out[:] = jnp.where(upd, b1n, b1_out[:])
         ctn = tp | (cts & ~jnp.int32(3))
         ct_ref[:] = ctn  # read slot == write slot: consumed at step d+2
         # tail hand-off to the next lane: rolled now, consumed at step d+2 —
@@ -324,9 +309,9 @@ def _chunk_kernel_body(
     text_ref,  # SMEM (t_steps//8,): this chunk's chars, 8 per int32
     ustream_ref,  # SMEM (t_steps//16,): word-0 h_top stream, 16 x 2b per int32
     eq_ref,  # (ALPHABET, rows, LANES) match planes
-    vm1_in, v0_in, v1_in, v2_in, cta_in, ctb_in, pend_in,
+    b0_in, b1_in, cta_in, ctb_in, pend_in,
     # outputs
-    vm1_out, v0_out, v1_out, v2_out, cta_out, ctb_out, pend_out,
+    b0_out, b1_out, cta_out, ctb_out, pend_out,
     tail_out=None,  # (t_steps, LANES): row r_star of the hand-off buffer
 ):
     """Resumable T-step slice of the bit-parallel wavefront (multi-chip).
@@ -348,10 +333,8 @@ def _chunk_kernel_body(
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
-    vm1_out[:] = vm1_in[:]
-    v0_out[:] = v0_in[:]
-    v1_out[:] = v1_in[:]
-    v2_out[:] = v2_in[:]
+    b0_out[:] = b0_in[:]
+    b1_out[:] = b1_in[:]
     cta_out[:] = cta_in[:]
     ctb_out[:] = ctb_in[:]
     pend_out[:] = pend_in[:]
@@ -374,14 +357,10 @@ def _chunk_kernel_body(
         )
         u0 = cts & 1
         u1 = (cts >> 1) & 1
-        vm1n, v0n, v1n, v2n, tp = _plane_step(
-            E, vm1_out[:], v0_out[:], v1_out[:], v2_out[:], u0, u1
-        )
+        b0n, b1n, tp = _plane_step(E, b0_out[:], b1_out[:], u0, u1)
         upd = (offs <= d - 1) & (offs >= d - mt)
-        vm1_out[:] = jnp.where(upd, vm1n, vm1_out[:])
-        v0_out[:] = jnp.where(upd, v0n, v0_out[:])
-        v1_out[:] = jnp.where(upd, v1n, v1_out[:])
-        v2_out[:] = jnp.where(upd, v2n, v2_out[:])
+        b0_out[:] = jnp.where(upd, b0n, b0_out[:])
+        b1_out[:] = jnp.where(upd, b1n, b1_out[:])
         ctn = tp | (cts & ~jnp.int32(3))
         ct_ref[:] = ctn
         if tail_out is not None:  # score-only callers skip the capture
@@ -404,7 +383,7 @@ def chunk_call(
     text_chunk: jax.Array,  # (t_steps//8,) packed chars
     ustream: jax.Array,  # (t_steps//16,) packed 2-bit h_top values
     eq_planes: jax.Array,
-    state,  # tuple of 7 arrays: vm1, v0, v1, v2, cta, ctb, pend
+    state,  # tuple of 5 arrays: b0, b1, cta, ctb, pend
     *,
     rows: int,
     t_steps: int,
@@ -432,21 +411,20 @@ def chunk_call(
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[smem, smem, smem] + [vmem] * 8,
-        out_specs=tuple([vmem] * (8 if with_tail else 7)),
+        in_specs=[smem, smem, smem] + [vmem] * 6,
+        out_specs=tuple([vmem] * (6 if with_tail else 5)),
         interpret=interpret,
     )(d0_mt, text_chunk, ustream, eq_planes, *state)
-    return out[:7], (out[7] if with_tail else None)
+    return out[:5], (out[5] if with_tail else None)
 
 
 def init_chunk_state(rows: int):
-    """Initial kernel state: column-0 DP boundary (v = gap everywhere)."""
+    """Initial kernel state: column-0 DP boundary — v = gap everywhere,
+    i.e. enc 0, so both delta planes start zero."""
     z = jnp.zeros((rows, LANES), jnp.int32)
     return (
-        jnp.full((rows, LANES), MASK31, jnp.int32),  # vm1
-        z,  # v0
-        z,  # v1
-        z,  # v2
+        z,  # b0
+        z,  # b1
         z,  # cta
         z,  # ctb
         jnp.zeros((SUBLANES, LANES), jnp.int32),  # pend
@@ -467,7 +445,7 @@ def _bitpal_call(
 ):
     kernel = functools.partial(_bitpal_kernel_body, mt, rows, total, unroll)
     out_shape = tuple(
-        jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(3)
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(2)
     )
     return pl.pallas_call(
         kernel,
@@ -477,12 +455,11 @@ def _bitpal_call(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.int32),  # V0 plane
-            pltpu.VMEM((rows, LANES), jnp.int32),  # char/top-bit words, even
-            pltpu.VMEM((rows, LANES), jnp.int32),  # char/top-bit words, odd
+            pltpu.VMEM((rows, LANES), jnp.int32),  # char/hand-off words, even
+            pltpu.VMEM((rows, LANES), jnp.int32),  # char/hand-off words, odd
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),  # rolled-tail ping-pong
         ],
         interpret=interpret,
@@ -554,10 +531,12 @@ def _valid_mask(nq: int, nw: int, rows: int) -> np.ndarray:
     return mask.reshape(LANES, rows).T  # column-major word placement
 
 
-def _reduce_score(planes, valid, mt: int) -> jax.Array:
-    vm1, v1, v2 = (p & valid for p in planes)
+def _reduce_score(planes, valid, mt: int, nq: int) -> jax.Array:
+    """H(nq, mt) = mt*gap + sum of final-column deltas; per row the delta is
+    ``enc - 1 = b0 + 2*b1 - 1``."""
+    b0, b1 = (p & valid for p in planes)
     pc = lambda x: jnp.sum(jax.lax.population_count(x))  # noqa: E731
-    return -mt + pc(v1) + 2 * pc(v2) - pc(vm1)
+    return pc(b0) + 2 * pc(b1) - (mt + nq)
 
 
 def score(
@@ -629,7 +608,7 @@ def score_fn(
             unroll,
             interpret,
         )
-        return k * _reduce_score(planes, valid, mt)
+        return k * _reduce_score(planes, valid, mt, nq)
 
     return fn
 
@@ -688,7 +667,6 @@ def _score_chunked_fn(
             init_chunk_state(rows),
             (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
         )
-        planes = (state[0], state[2], state[3])  # vm1, v1, v2
-        return k * _reduce_score(planes, valid, mt)
+        return k * _reduce_score((state[0], state[1]), valid, mt, nq)
 
     return fn

@@ -88,13 +88,14 @@ def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
             r_star=None,
             interpret=interpret,
         )
-        vm1, _, v1, v2 = state[0], state[1], state[2], state[3]
+        b0, b1 = state[0], state[1]
 
         def bits(plane):
             words = plane.T.reshape(-1)[:nw_cap]  # column-major word order
             return (words[:, None] >> jnp.arange(WORD, dtype=jnp.int32)) & 1
 
-        v = (bits(v1) + 2 * bits(v2) - bits(vm1)).reshape(nq_cap)
+        # per-row delta = enc - 1 = b0 + 2*b1 - 1
+        v = (bits(b0) + 2 * bits(b1) - 1).reshape(nq_cap)
         return jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(v, dtype=jnp.int32)]
         ) - mt.astype(jnp.int32)

@@ -134,8 +134,9 @@ def _pipeline_body(
         superstep, (init_state, zeros_t, zeros_t), steps
     )
 
-    # score = gap * mt + sum over valid query rows of the final-column deltas
-    vm1, _, v1, v2 = state[0], state[1], state[2], state[3]
+    # score = gap * mt + sum over valid query rows of the final-column
+    # deltas; per row the delta is enc - 1 = b0 + 2*b1 - 1
+    b0, b1 = state[0], state[1]
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     lword = row_i + rows * lane_i  # local word index in this chip's band
@@ -149,7 +150,7 @@ def _pipeline_body(
         nbits >= WORD, jnp.int32(MASK31), (jnp.int32(1) << nbits) - 1
     )
     pc = lambda x: jnp.sum(jax.lax.population_count(x & valid))  # noqa: E731
-    part = pc(v1) + 2 * pc(v2) - pc(vm1)
+    part = pc(b0) + 2 * pc(b1) - jnp.sum(jax.lax.population_count(valid))
     return (jax.lax.psum(part, AXIS) - mt)[None]
 
 
