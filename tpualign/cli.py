@@ -183,35 +183,37 @@ def cmd_tune(args) -> int:
     mesh = make_mesh(args.devices if args.devices > 0 else None)
     use_bitpal = args.engine == "bitpal"
     interpret = jax.devices()[0].platform != "tpu"
-    fns = {}  # chunk -> prepared zero-arg scorer (avoids per-run retraces)
-
-    def run(chunk):
-        if chunk not in fns:
-            if use_bitpal:
-                import jax.numpy as jnp
-
-                fn = bitpal_strips.score_fn(
-                    len(s1), len(s2), _scoring(args), mesh=mesh,
-                    chunk_cols=chunk, interpret=interpret,
-                )
-                d1 = jnp.asarray(np.asarray(s1), jnp.int32)
-                d2 = jnp.asarray(np.asarray(s2), jnp.int32)
-                fns[chunk] = lambda: int(fn(d1, d2))
-            else:
-                fns[chunk] = lambda: strips.score(
-                    s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk
-                )
-        return fns[chunk]()
 
     rows = []
     for chunk in (int(v) for v in args.values.split(",")):
-        score = run(chunk)  # compile + warmup
-        samples = []
-        for _ in range(args.runs):
-            t0 = time.perf_counter()
-            run(chunk)
-            samples.append(time.perf_counter() - t0)
-        best = min(samples)
+        if use_bitpal:
+            import jax.numpy as jnp
+
+            from .bench.harness import time_device_fn
+
+            fn = bitpal_strips.score_fn(
+                len(s1), len(s2), _scoring(args), mesh=mesh,
+                chunk_cols=chunk, interpret=interpret,
+            )
+            d1 = jnp.asarray(np.asarray(s1), jnp.int32)
+            d2 = jnp.asarray(np.asarray(s2), jnp.int32)
+            r = time_device_fn(
+                fn, (d1, d2), label=str(chunk),
+                cells=len(s1) * len(s2), runs=args.runs,
+            )
+            best, score = r.wall_s_best, r.score
+        else:
+            score = strips.score(
+                s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk
+            )  # compile + warmup
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                strips.score(
+                    s1, s2, _scoring(args), mesh=mesh, chunk_rows=chunk
+                )
+                samples.append(time.perf_counter() - t0)
+            best = min(samples)
         gcups = len(s1) * len(s2) / best / 1e9
         print(f"chunk={chunk}\t{best*1e3:.2f} ms\t{gcups:.3f} GCUPS\tscore {score}")
         rows.append((chunk, best, gcups, score))
