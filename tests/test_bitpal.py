@@ -96,3 +96,43 @@ def test_chunked_text_path(rng):
         fn = bitpal.score_fn(m, n, UNIT, interpret=True, text_cap=64)
         got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
         assert got == oracle.score(s1, s2, UNIT), (m, n)
+
+
+def test_score_batch(rng):
+    texts, queries, want = [], [], []
+    for i in range(6):
+        m = int(rng.integers(1, 200))
+        n = int(rng.integers(1, 150))
+        s1, s2 = random_pair(m, n, seed=1000 + i)
+        texts.append(s1)
+        queries.append(s2)
+        want.append(oracle.score(s1, s2, UNIT))
+    got = bitpal.score_batch(texts, queries, UNIT, interpret=True)
+    assert got.tolist() == want
+
+
+def test_score_batch_degenerate():
+    texts = [np.asarray([1, 2, 3], np.int8), np.empty(0, np.int8),
+             np.asarray([4], np.int8)]
+    queries = [np.empty(0, np.int8), np.asarray([1, 2], np.int8),
+               np.asarray([4, 4], np.int8)]
+    got = bitpal.score_batch(texts, queries, UNIT, interpret=True)
+    assert got.tolist() == [-3, -2, 0]
+
+
+def test_api_batch_dispatch(rng):
+    import tpualign
+
+    texts, queries, want = [], [], []
+    for i in range(4):
+        s1, s2 = random_pair(int(rng.integers(1, 80)), int(rng.integers(1, 80)),
+                             seed=2000 + i)
+        texts.append(s1)
+        queries.append(s2)
+        want.append(oracle.score(s1, s2, UNIT))
+    got = tpualign.align_score_batch(texts, queries)
+    assert got.tolist() == want
+    # non-bitpal configs take the per-pair fallback
+    cfg = ScoringConfig(gap=-2)
+    got2 = tpualign.align_score_batch(texts, queries, cfg)
+    assert got2.tolist() == [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]

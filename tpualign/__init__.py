@@ -10,12 +10,13 @@ Public API:
 
 - :func:`align_score` — alignment score (NW or SW), auto-dispatched engine.
 - :func:`align` — score plus aligned strings (traceback).
+- :func:`align_score_batch` — many pairs in one dispatch (serving path).
 - :class:`ScoringConfig`, :class:`EngineConfig`, :class:`AlignMode` — config.
 - :mod:`tpualign.io.bdna` — ``.bdna`` corpus IO.
 """
 
 from .config import AlignMode, EngineConfig, ScoringConfig, DEFAULT_ENGINE, DEFAULT_SCORING
-from .api import align_score, align
+from .api import align_score, align, align_score_batch
 
 __all__ = [
     "AlignMode",
@@ -25,6 +26,7 @@ __all__ = [
     "DEFAULT_SCORING",
     "align_score",
     "align",
+    "align_score_batch",
 ]
 
 __version__ = "0.1.0"

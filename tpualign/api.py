@@ -116,3 +116,35 @@ def align(
     from .ops import traceback as tb
 
     return tb.align_checkpointed(s1, s2, scoring, engine)
+
+
+def align_score_batch(
+    texts,
+    queries,
+    scoring: ScoringConfig = ScoringConfig(),
+    engine: EngineConfig = EngineConfig(),
+) -> np.ndarray:
+    """Scores for a batch of pairs in one device dispatch (serving path).
+
+    All pairs share a padded shape bucket; through a high-latency host link
+    this amortizes the per-dispatch round trip across the whole batch.
+    Requires the bit-parallel scoring family ``(k, 0, -k)`` on the fast
+    path; other configurations fall back to a per-pair loop.
+    """
+    from .ops import bitpal
+
+    if (
+        bitpal.supported_scale(scoring) is not None
+        and not scoring.is_local
+        and resolve_impl(engine, scoring) in ("bitpal", "xla")
+    ):
+        try:
+            return bitpal.score_batch(
+                texts, queries, scoring,
+                interpret=engine.interpret or _platform() != "tpu",
+            )
+        except ValueError:  # outside the batch kernel envelope
+            pass
+    return np.asarray(
+        [align_score(t, q, scoring, engine) for t, q in zip(texts, queries)]
+    )

@@ -299,6 +299,242 @@ def _bitpal_kernel_body(
     jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
 
 
+def _batch_kernel_body(
+    batch: int,
+    rows: int,
+    total: int,
+    unroll: int,
+    # inputs
+    mts_ref,  # SMEM (batch,): true text length per pair
+    text_ref,  # SMEM ((total+2) * ceil(batch/8),) flat column-major chars:
+    #            row d packs every pair's column-(d+1) char, 8 per int32
+    eq_ref,  # (ALPHABET, batch*rows, LANES) per-pair match planes stacked
+    # outputs
+    b0_out,
+    b1_out,
+    # scratch
+    cta_ref,
+    ctb_ref,
+    penda_ref,  # (batch*rows, LANES) next row-0 values (val + rolled tail)
+    pendb_ref,  # same, odd steps
+):
+    """Batched single-chip fill: ``batch`` same-bucket pairs interleaved.
+
+    Pair ``b`` occupies the row block ``[b*rows, (b+1)*rows)`` of every
+    plane; within a block the layout and 2w-stagger schedule match
+    ``_bitpal_kernel_body``.  The sublane hand-off shift is shared (one roll
+    for all pairs), with each pair's row 0 patched from its own text char
+    and rolled tail, so B small problems amortize the per-step cost that
+    makes them latency-bound when run alone (a serving workload: one
+    dispatch scores the whole batch)."""
+    brows = batch * rows
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
+    offs = 2 * ((row_i % rows) + rows * lane_i)  # pair-local word stagger
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    is_row0 = (row_i % rows) == 0
+    eq = [eq_ref[c] for c in range(ALPHABET)]
+
+    def chars_at(idx):
+        # ONE scalar read per 8 pairs per step; pairs past their own text
+        # length read the 0 pad char, whose garbage effects are frozen out
+        # by the per-pair update mask
+        wpb = (batch + 7) // 8
+        words = [text_ref[idx * wpb + j] for j in range(wpb)]
+        return [
+            (words[b >> 3] >> ((b & 7) << 2)) & 15 for b in range(batch)
+        ]
+
+    b0_out[:] = jnp.zeros((brows, LANES), jnp.int32)
+    b1_out[:] = jnp.zeros((brows, LANES), jnp.int32)
+    cta_ref[:] = jnp.zeros((brows, LANES), jnp.int32)
+    ctb_ref[:] = jnp.zeros((brows, LANES), jnp.int32)
+    # pend buffers hold each pair's NEXT row-0 (text char at lane 0 embedded
+    # at write time, rolled tail elsewhere), full-shaped so consumption is a
+    # single masked select; seed them with the step-1 / step-2 chars
+    zero = jnp.zeros((brows, LANES), jnp.int32)
+    seed_a, seed_b = zero, zero
+    c1 = chars_at(jnp.int32(0))
+    c2 = chars_at(jnp.int32(1))
+    for b in range(batch):
+        at0 = (row_i == b * rows) & (lane_row == 0)
+        seed_a = jnp.where(at0, c1[b] << 2, seed_a)
+        seed_b = jnp.where(at0, c2[b] << 2, seed_b)
+    penda_ref[:] = seed_a
+    pendb_ref[:] = seed_b
+    # per-pair text bound as a plane, for the freeze mask
+    mtp = jnp.zeros((brows, LANES), jnp.int32)
+    for b in range(batch):
+        mtp = jnp.where(row_i // rows == b, mts_ref[b], mtp)
+
+    def step(d, u):
+        ct_ref = cta_ref if u % 2 == 0 else ctb_ref
+        pend = penda_ref if u % 2 == 0 else pendb_ref
+        cts = jnp.where(is_row0, pend[:], pltpu.roll(ct_ref[:], 1, axis=0))
+        win = cts >> 2
+        E = jnp.where(
+            win <= 2,
+            jnp.where(win == 1, eq[0], eq[1]),
+            jnp.where(win == 3, eq[2], eq[3]),
+        )
+        u0 = cts & 1
+        u1 = (cts >> 1) & 1
+        b0n, b1n, tp = _plane_step(E, b0_out[:], b1_out[:], u0, u1)
+        upd = (offs <= d - 1) & (offs >= d - mtp)
+        b0_out[:] = jnp.where(upd, b0n, b0_out[:])
+        b1_out[:] = jnp.where(upd, b1n, b1_out[:])
+        ctn = tp | (cts & ~jnp.int32(3))
+        ct_ref[:] = ctn
+        # one full lane roll (latency hidden by the 2-step slack) feeds every
+        # pair's next-lane hand-off; each pair's row 0 for step d+2 is staged
+        # with its step-(d+2) char already at lane 0
+        rolled = pltpu.roll(ctn, 1, axis=1)
+        nxt = chars_at(d + 1)  # chars for step d+2 (column index d+1)
+        for b in range(batch):
+            tail = b * rows + rows - 1
+            r0 = b * rows
+            pend[r0 : r0 + 1, :] = jnp.where(
+                lane_row == 0, nxt[b] << 2, rolled[tail : tail + 1, :],
+            )
+
+    def body(tt, _):
+        d0 = unroll * tt + 1
+        for u in range(unroll):
+            step(d0 + u, u)
+        return 0
+
+    jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+
+
+@functools.lru_cache(maxsize=64)
+def score_batch_fn(
+    batch: int,
+    m_cap: int,
+    n_cap: int,
+    cfg: ScoringConfig = ScoringConfig(),
+    interpret: bool = False,
+):
+    """Jittable batched scorer for serving: ``(texts, queries, mts, nqs) ->
+    (batch,) scores``, all pairs padded to ``(m_cap, n_cap)`` with true
+    lengths passed as data.  One dispatch fills every pair; see
+    ``_batch_kernel_body``."""
+    k = supported_scale(cfg)
+    if k is None:
+        raise ValueError("bitpal engine requires global (k, 0, -k) scoring")
+    unroll = UNROLL_INTERPRET if interpret else UNROLL
+    nw = -(-n_cap // WORD)
+    rows = _round_up(nw, GRAIN) // LANES
+    if batch * rows * LANES > MAX_WORDS:
+        raise ValueError("batch x query bucket too large for VMEM planes")
+    total = _round_up(m_cap + 2 * (nw - 1), unroll)
+    if (total + 2) * ((batch + 7) // 8) * 4 > 640 * 1024:
+        raise ValueError(
+            "batch text footprint exceeds the SMEM budget; batch scoring "
+            "targets many small pairs — use score()/score_fn for large ones"
+        )
+    kernel = functools.partial(
+        _batch_kernel_body, batch, rows, total, unroll
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((batch * rows, LANES), jnp.int32)
+            for _ in range(2)
+        ),
+        in_specs=[smem, smem, vmem],
+        out_specs=(vmem, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((batch * rows, LANES), jnp.int32),
+            pltpu.VMEM((batch * rows, LANES), jnp.int32),
+            pltpu.VMEM((batch * rows, LANES), jnp.int32),
+            pltpu.VMEM((batch * rows, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def fn(texts, queries, mts, nqs):
+        # per-pair match planes, stacked along the row-block axis
+        qpad = jnp.zeros((batch, nw * WORD), jnp.int32)
+        qpad = jax.lax.dynamic_update_slice(
+            qpad, queries.astype(jnp.int32), (0, 0)
+        )
+        bits = qpad.reshape(batch, nw, WORD)
+        weights = jnp.asarray([1 << b for b in range(WORD)], jnp.int32)
+        planes = []
+        for cch in range(1, ALPHABET + 1):
+            words = jnp.sum(
+                jnp.where(bits == cch, weights[None, None, :], 0),
+                axis=2, dtype=jnp.int32,
+            )  # (batch, nw)
+            pad = jnp.zeros((batch, rows * LANES), jnp.int32)
+            pad = jax.lax.dynamic_update_slice(pad, words, (0, 0))
+            planes.append(
+                pad.reshape(batch, LANES, rows)
+                .transpose(0, 2, 1)
+                .reshape(batch * rows, LANES)
+            )
+        eq_planes = jnp.stack(planes)
+
+        # column-major packing: row d holds all pairs' column-(d+1) chars
+        wpb = (batch + 7) // 8
+        tcm = jnp.zeros((total + 2, wpb * 8), jnp.int32)
+        tcm = jax.lax.dynamic_update_slice(
+            tcm, texts.astype(jnp.int32).T, (0, 0)
+        )
+        shifts = jnp.arange(8, dtype=jnp.int32) * 4
+        tpacked = jnp.sum(
+            tcm.reshape(total + 2, wpb, 8) << shifts[None, None, :],
+            axis=2, dtype=jnp.int32,
+        ).reshape(-1)
+
+        b0, b1 = call(mts.astype(jnp.int32), tpacked, eq_planes)
+        # per-pair valid mask from true query length
+        word_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1) * rows
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        )
+        nbits = jnp.clip(
+            nqs[:, None, None] - WORD * word_idx[None, :, :], 0, WORD
+        )
+        valid = jnp.where(
+            nbits >= WORD, jnp.int32(MASK31), (jnp.int32(1) << nbits) - 1
+        )
+        pc = lambda x: jnp.sum(  # noqa: E731
+            jax.lax.population_count(x), axis=(1, 2)
+        )
+        b0v = b0.reshape(batch, rows, LANES) & valid
+        b1v = b1.reshape(batch, rows, LANES) & valid
+        return k * (pc(b0v) + 2 * pc(b1v) - mts - nqs)
+
+    return fn
+
+
+def score_batch(texts, queries, cfg: ScoringConfig = ScoringConfig(),
+                *, interpret: bool = False) -> np.ndarray:
+    """Score ``len(texts)`` pairs in one dispatch (lists of int sequences)."""
+    batch = len(texts)
+    assert batch == len(queries) and batch > 0
+    m_cap = max(1, max(len(t) for t in texts))
+    n_cap = max(1, max(len(q) for q in queries))
+    fn = score_batch_fn(batch, m_cap, n_cap, cfg, interpret)
+    tx = np.zeros((batch, m_cap), np.int32)
+    qx = np.zeros((batch, n_cap), np.int32)
+    mts = np.zeros(batch, np.int32)
+    nqs = np.zeros(batch, np.int32)
+    for i, (t, q) in enumerate(zip(texts, queries)):
+        tx[i, : len(t)] = t
+        qx[i, : len(q)] = q
+        mts[i] = len(t)
+        nqs[i] = len(q)
+    return np.asarray(
+        fn(jnp.asarray(tx), jnp.asarray(qx), jnp.asarray(mts),
+           jnp.asarray(nqs))
+    )
+
+
 def _chunk_kernel_body(
     rows: int,
     t_steps: int,
