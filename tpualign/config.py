@@ -66,22 +66,21 @@ class EngineConfig:
     ``chunk_rows`` is the depth (in DP rows) of one pipelined super-step of the
     multi-chip strip fill — the TPU successor of the reference's MPI comm-buffer
     size (``COMMBUF_SIZE`` 1280 ints, ``nw-mpi.hpp:18``, swept by
-    ``src/buf-tune.sh``).  ``tile_rows``/``tile_cols`` shape the blocked kernels
-    (successor of the OMP block dims N=128, M=64 at
-    ``sentinel-otf-blocked-mt.cpp:5-6``, swept by ``src/block-tune.sh``).
+    ``src/buf-tune.sh``).  The reference's other tuned dimension — OMP block
+    shape (N=128, M=64, ``sentinel-otf-blocked-mt.cpp:5-6``, swept by
+    ``src/block-tune.sh``) — has no successor knob: the hardware (8, 128)
+    vector shape fixes the tiling (see PARITY.md §2b).
     """
 
     impl: str = "auto"  # auto | bitpal | pallas | xla | oracle
     chunk_rows: int = 2048
-    tile_rows: int = 256
-    tile_cols: int = 512
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
 
     def __post_init__(self) -> None:
         if self.impl not in ("auto", "bitpal", "pallas", "xla", "oracle"):
             raise ValueError(f"unknown impl {self.impl!r}")
-        if self.chunk_rows <= 0 or self.tile_rows <= 0 or self.tile_cols <= 0:
-            raise ValueError("chunk/tile dims must be positive")
+        if self.chunk_rows <= 0:
+            raise ValueError("chunk_rows must be positive")
 
 
 DEFAULT_SCORING = ScoringConfig()

@@ -30,7 +30,7 @@ Scope: global NW with scoring family ``(k, 0, -k)`` (see
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
