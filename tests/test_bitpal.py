@@ -136,3 +136,15 @@ def test_api_batch_dispatch(rng):
     cfg = ScoringConfig(gap=-2)
     got2 = tpualign.align_score_batch(texts, queries, cfg)
     assert got2.tolist() == [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
+
+
+@pytest.mark.parametrize("rc", [2, 3, 4])
+def test_rc_kernel(rc, rng):
+    import jax.numpy as jnp
+    for _ in range(4):
+        m = int(rng.integers(1, 300))
+        n = int(rng.integers(1, 300))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        fn = bitpal.score_fn(m, n, UNIT, interpret=True, cols_per_step=rc)
+        got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
+        assert got == oracle.score(s1, s2, UNIT), (rc, m, n)

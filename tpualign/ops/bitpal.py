@@ -299,6 +299,91 @@ def _bitpal_kernel_body(
     jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
 
 
+def _rc_kernel_body(
+    mt: int,
+    rows: int,
+    total: int,
+    unroll: int,
+    rc: int,  # columns advanced per step (2..4)
+    text_ref,  # SMEM: packed chars, 8 per int32
+    eq_ref,
+    b0_out,
+    b1_out,
+    ct_ref,
+    pend_ref,
+):
+    """R-columns-per-step variant of ``_bitpal_kernel_body``.
+
+    Each step advances every word ``rc`` text columns (the ``rc`` column
+    updates of one word chain through registers), amortizing the per-step
+    hand-off machinery.  The hand-off pack carries all ``rc`` columns: h_out
+    bits at ``[0, 2*rc)`` (column c at bits 2c), chars at ``[8, 8+4*rc)``.
+
+    Stagger: within a lane, a word trails its predecessor by ONE step (its
+    whole ``rc``-column window consumes the pack written last step — the
+    sublane shift joins the dependency chain, but its ~6-cycle latency is
+    amortized over ``rc`` columns); across the lane boundary the stagger is
+    ``rows+1`` steps, aging the expensive lane roll to 2 steps as before.
+    Word ``w`` at step ``t`` covers columns ``(rc*(t - off_w) - rc,
+    rc*(t - off_w)]`` with ``off_w = w % rows + (rows+1) * (w // rows)``;
+    ramp = max offset ~ nw steps (vs ``2 nw`` for the 1-column kernel)."""
+    lam = rows + 1
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    offs = row_i + lam * lane_i
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eq = [eq_ref[c] for c in range(ALPHABET)]
+
+    b0_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    b1_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    ct_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+    def step(t, u):
+        # word 0's fresh pack: chars text[rc*(t-1) .. rc*t - 1], h_top = 0
+        cpack = jnp.int32(0)
+        for c in range(rc):
+            idx = jnp.minimum(rc * (t - 1) + c, mt - 1)
+            ch = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+            cpack = cpack | (ch << (8 + 4 * c))
+        pend_row = pend_ref[u % 2 : u % 2 + 1, :]
+        row0 = jnp.where(lane_row == 0, cpack, pend_row)
+        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
+
+        b0, b1 = b0_out[:], b1_out[:]
+        colbase = rc * t - rc * offs - rc  # column before this step's window
+        tpn = cts & ~jnp.int32((1 << (2 * rc)) - 1)  # keep the char bits
+        for c in range(rc):
+            win = (cts >> (8 + 4 * c)) & 15
+            E = jnp.where(
+                win <= 2,
+                jnp.where(win == 1, eq[0], eq[1]),
+                jnp.where(win == 3, eq[2], eq[3]),
+            )
+            u0 = (cts >> (2 * c)) & 1
+            u1 = (cts >> (2 * c + 1)) & 1
+            b0n, b1n, tp = _plane_step(E, b0, b1, u0, u1)
+            col = colbase + 1 + c
+            upd = (col >= 1) & (col <= mt)
+            b0 = jnp.where(upd, b0n, b0)
+            b1 = jnp.where(upd, b1n, b1)
+            tpn = tpn | (tp << (2 * c))
+        b0_out[:] = b0
+        b1_out[:] = b1
+        ct_ref[:] = tpn  # consumed next step (in-lane) / via pend (cross-lane)
+        pend_ref[u % 2 : u % 2 + 1, :] = pltpu.roll(
+            tpn[rows - 1 : rows, :], 1, axis=1
+        )
+
+    def body(tt, _):
+        t0 = unroll * tt + 1
+        for u in range(unroll):
+            step(t0 + u, u)
+        return 0
+
+    jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+
+
 def _batch_kernel_body(
     batch: int,
     rows: int,
@@ -804,6 +889,43 @@ def score(
 TEXT_SMEM_CAP = 1 << 21
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mt", "rows", "total", "unroll", "rc",
+                              "interpret")
+)
+def _rc_call(
+    text_packed: jax.Array,
+    eq_planes: jax.Array,
+    mt: int,
+    rows: int,
+    total: int,
+    unroll: int,
+    rc: int,
+    interpret: bool,
+):
+    kernel = functools.partial(
+        _rc_kernel_body, mt, rows, total, unroll, rc
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(2)
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(text_packed, eq_planes)
+
+
 def score_fn(
     m: int,
     n: int,
@@ -811,9 +933,11 @@ def score_fn(
     *,
     interpret: bool = False,
     text_cap: int = TEXT_SMEM_CAP,
+    cols_per_step: int = 1,
 ):
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
-    ``n = len(s2)``."""
+    ``n = len(s2)``.  ``cols_per_step`` > 1 selects the R-column kernel
+    (``_rc_kernel_body``)."""
     k = supported_scale(cfg)
     if k is None:
         raise ValueError("bitpal engine requires global (k, 0, -k) scoring")
@@ -832,6 +956,25 @@ def score_fn(
             s1_is_query, k, nq, mt, nw, rows, valid, unroll, text_cap,
             interpret=interpret,
         )
+
+    rc = cols_per_step
+    if rc > 1:
+        if not 2 <= rc <= 4:
+            raise ValueError("cols_per_step must be in 1..4")
+        lam = rows + 1
+        max_off = (nw - 1) % rows + lam * ((nw - 1) // rows)
+        total_rc = _round_up(-(-mt // rc) + max_off, unroll)
+
+        def fn_rc(s1: jax.Array, s2: jax.Array) -> jax.Array:
+            query, text = (s1, s2) if s1_is_query else (s2, s1)
+            planes = _rc_call(
+                _pack_text(text, mt),
+                _eq_planes(query, nq, nw, rows),
+                mt, rows, total_rc, unroll, rc, interpret,
+            )
+            return k * _reduce_score(planes, valid, mt, nq)
+
+        return fn_rc
 
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
         query, text = (s1, s2) if s1_is_query else (s2, s1)
