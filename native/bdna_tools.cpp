@@ -116,4 +116,62 @@ int64_t align_score_native(const int8_t* s1, int64_t m,
   return local ? best : row[(size_t)m];
 }
 
+// Full-table fill + traceback walk. Writes the edit path (from the END;
+// caller reverses) into ops_out as 0 = diag, 1 = up (gap in s1), 2 = left
+// (gap in s2); returns the path length and the score via score_out.
+// Tie order diag > up > left, SW start = row-major-first maximum cell and
+// stop at the first zero — byte-identical to ops/oracle.py:traceback.
+// Caller guarantees (m+1)*(n+1) cells fit memory and scores fit int32.
+int64_t traceback_native(const int8_t* s1, int64_t m,
+                         const int8_t* s2, int64_t n,
+                         int64_t match, int64_t mismatch, int64_t gap,
+                         int mode, int64_t* score_out, int8_t* ops_out) {
+  const bool local = (mode == 1);
+  const int64_t W = m + 1;
+  std::vector<int32_t> H((size_t)((n + 1) * W));
+  for (int64_t j = 0; j <= m; ++j) H[(size_t)j] = (int32_t)(local ? 0 : j * gap);
+  for (int64_t i = 1; i <= n; ++i) {
+    int32_t* cur = &H[(size_t)(i * W)];
+    const int32_t* prev = &H[(size_t)((i - 1) * W)];
+    cur[0] = (int32_t)(local ? 0 : i * gap);
+    const int8_t c2 = s2[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      int32_t v = prev[j - 1] + (int32_t)(s1[j - 1] == c2 ? match : mismatch);
+      v = std::max(v, prev[j] + (int32_t)gap);
+      v = std::max(v, cur[j - 1] + (int32_t)gap);
+      if (local) v = std::max(v, 0);
+      cur[j] = v;
+    }
+  }
+  int64_t i = n, j = m;
+  if (local) {
+    int32_t best = 0;
+    i = 0; j = 0;
+    for (int64_t ii = 0; ii <= n; ++ii)
+      for (int64_t jj = 0; jj <= m; ++jj)
+        if (H[(size_t)(ii * W + jj)] > best) {  // strict: first occurrence wins
+          best = H[(size_t)(ii * W + jj)];
+          i = ii; j = jj;
+        }
+  }
+  *score_out = H[(size_t)(i * W + j)];
+  int64_t len = 0;
+  while (i > 0 || j > 0) {
+    const int32_t h = H[(size_t)(i * W + j)];
+    if (local && h == 0) break;
+    if (i > 0 && j > 0 &&
+        h == H[(size_t)((i - 1) * W + j - 1)] +
+                 (int32_t)(s1[j - 1] == s2[i - 1] ? match : mismatch)) {
+      ops_out[len++] = 0; --i; --j;
+    } else if (i > 0 && h == H[(size_t)((i - 1) * W + j)] + (int32_t)gap) {
+      ops_out[len++] = 1; --i;
+    } else if (j > 0 && h == H[(size_t)(i * W + j - 1)] + (int32_t)gap) {
+      ops_out[len++] = 2; --j;
+    } else {
+      return -1;  // broken table; caller falls back
+    }
+  }
+  return len;
+}
+
 }  // extern "C"

@@ -50,3 +50,26 @@ def test_reference_smid_score():
     s1 = read_bdna(os.path.join(p, "smid1.bdna"))
     s2 = read_bdna(os.path.join(p, "smid2.bdna"))
     assert native.score(s1, s2) == 5839  # golden from compiled reference
+
+
+def test_native_traceback_matches_oracle():
+    import numpy as np
+    import pytest
+
+    from tpualign.config import ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import oracle
+    from tpualign.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        m, n = int(rng.integers(1, 200)), int(rng.integers(1, 200))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        assert native.traceback(s1, s2) == oracle.traceback(
+            s1, s2, ScoringConfig()
+        )
+    cfg = ScoringConfig(match=2, mismatch=-1, gap=-3)
+    s1, s2 = random_pair(90, 70, seed=4)
+    assert native.traceback(s1, s2, cfg) == oracle.traceback(s1, s2, cfg)

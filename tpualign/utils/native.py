@@ -55,6 +55,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
     ]
     lib.align_score_native.restype = ctypes.c_int64
+    i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    lib.traceback_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        i64p, i8p,
+    ]
+    lib.traceback_native.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -98,3 +105,43 @@ def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
             cfg.match, cfg.mismatch, cfg.gap, 1 if cfg.is_local else 0,
         )
     )
+
+
+def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
+    """Full-table global traceback in C++ — byte-identical output to
+    ``ops.oracle.traceback`` for NW (same diag>up>left tie order), ~50x
+    faster (the per-cell Python walk dominates the NumPy version).  Returns
+    ``(score, a1, a2)``; raises RuntimeError if the library is missing or
+    for SW mode (local walks stay on the oracle)."""
+    from ..config import ScoringConfig
+
+    if cfg is None:
+        cfg = ScoringConfig()
+    if cfg.is_local:
+        raise RuntimeError("native traceback supports global mode only")
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    s1 = np.ascontiguousarray(s1, dtype=np.int8)
+    s2 = np.ascontiguousarray(s2, dtype=np.int8)
+    ops = np.empty(max(1, s1.size + s2.size), dtype=np.int8)
+    score = np.zeros(1, dtype=np.int64)
+    ln = int(
+        lib.traceback_native(
+            s1, s1.size, s2, s2.size,
+            cfg.match, cfg.mismatch, cfg.gap, 0,
+            score, ops,
+        )
+    )
+    if ln < 0:
+        raise RuntimeError("native traceback failed")
+    ops = ops[:ln][::-1]  # 0 = diag, 1 = up (gap in s1), 2 = left (gap in s2)
+    # vectorized string rebuild: char code 0 renders as the gap symbol
+    lut = np.frombuffer(b"-ATGC", dtype=np.uint8)
+    take1 = ops != 1
+    take2 = ops != 2
+    c1 = np.where(take1, s1[np.cumsum(take1) - 1], 0).astype(np.int64)
+    c2 = np.where(take2, s2[np.cumsum(take2) - 1], 0).astype(np.int64)
+    a1 = lut[c1].tobytes().decode()
+    a2 = lut[c2].tobytes().decode()
+    return int(score[0]), a1, a2
