@@ -148,3 +148,25 @@ def test_rc_kernel(rc, rng):
         fn = bitpal.score_fn(m, n, UNIT, interpret=True, cols_per_step=rc)
         got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
         assert got == oracle.score(s1, s2, UNIT), (rc, m, n)
+
+
+@pytest.mark.parametrize(
+    "match,mismatch,gap",
+    [(1, -2, -4), (5, 2, -2), (2, -2, -5), (4, 0, -4), (3, 0, -3)],
+)
+def test_affine_equivalent_scoring_family(match, mismatch, gap, rng):
+    cfg = ScoringConfig(match=match, mismatch=mismatch, gap=gap)
+    assert bitpal.supported_scale(cfg) is not None
+    for _ in range(4):
+        m = int(rng.integers(1, 150))
+        n = int(rng.integers(1, 150))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        got = bitpal.score(s1, s2, cfg, interpret=True)
+        assert got == oracle.score(s1, s2, cfg), (match, mismatch, gap, m, n)
+
+
+def test_affine_family_rejects_nonmember():
+    for cfg in (ScoringConfig(match=2, mismatch=0, gap=-1),
+                ScoringConfig(match=1, mismatch=1, gap=-1),
+                ScoringConfig(match=1, mismatch=-1, gap=-2)):
+        assert bitpal.supported_scale(cfg) is None

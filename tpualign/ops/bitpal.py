@@ -100,17 +100,33 @@ MAX_WORDS = 512 * 1024
 
 
 def supported_scale(cfg: ScoringConfig) -> Optional[int]:
-    """Return ``k`` if ``cfg`` is global ``(k, 0, -k)`` scoring, else None.
+    """Return ``M - X`` if ``cfg`` is global scoring affinely equivalent to
+    the unit scheme ``(1, 0, -1)``, else None.
 
-    ``score(k,0,-k) = k * score(1,0,-1)`` exactly (every alignment's score
-    scales by k), so the unit-scheme kernel serves the whole family.
+    For any alignment of sequences with lengths m, n: matches a, mismatches
+    b, gaps g satisfy ``2(a + b) + g = m + n``, so
+
+        S = M a + X b + G g = X (m+n)/2 + (M-X) a + (G - X/2) g.
+
+    When ``2G == 3X - 2M`` (and ``M > X`` so the map is order-preserving)
+    this is ``X (m+n)/2 + (M-X) (a - g)`` — an exact affine function of the
+    unit-scheme score ``S' = a - g``:  ``S = (X (m+n) + 2 (M-X) S') / 2``
+    (always integral).  The family includes ``(k, 0, -k)`` and realistic
+    schemes like ``(1, -2, -4)`` or ``(5, 2, -2)``.
     """
     if cfg.is_local:
         return None
-    k = cfg.match
-    if k > 0 and cfg.mismatch == 0 and cfg.gap == -k:
-        return k
+    mult = cfg.match - cfg.mismatch
+    if mult > 0 and 2 * cfg.gap == 3 * cfg.mismatch - 2 * cfg.match:
+        return mult
     return None
+
+
+def _from_unit(cfg: ScoringConfig, total_len, unit_score):
+    """Map the unit-scheme score back to ``cfg``'s scale (see
+    :func:`supported_scale`); exact integer arithmetic."""
+    mult = cfg.match - cfg.mismatch
+    return (cfg.mismatch * total_len + 2 * mult * unit_score) // 2
 
 
 # ---------------------------------------------------------------------------
@@ -503,9 +519,10 @@ def score_batch_fn(
     (batch,) scores``, all pairs padded to ``(m_cap, n_cap)`` with true
     lengths passed as data.  One dispatch fills every pair; see
     ``_batch_kernel_body``."""
-    k = supported_scale(cfg)
-    if k is None:
-        raise ValueError("bitpal engine requires global (k, 0, -k) scoring")
+    if supported_scale(cfg) is None:
+        raise ValueError(
+            "bitpal engine requires unit-equivalent global scoring"
+        )
     unroll = UNROLL_INTERPRET if interpret else UNROLL
     nw = -(-n_cap // WORD)
     rows = _round_up(nw, GRAIN) // LANES
@@ -592,7 +609,8 @@ def score_batch_fn(
         )
         b0v = b0.reshape(batch, rows, LANES) & valid
         b1v = b1.reshape(batch, rows, LANES) & valid
-        return k * (pc(b0v) + 2 * pc(b1v) - mts - nqs)
+        unit = pc(b0v) + 2 * pc(b1v) - mts - nqs
+        return _from_unit(cfg, mts + nqs, unit)
 
     return fn
 
@@ -868,11 +886,10 @@ def score(
     interpret: bool = False,
 ) -> int:
     """NW score via the bit-parallel kernel (scoring family ``(k, 0, -k)``)."""
-    k = supported_scale(cfg)
-    if k is None:
+    if supported_scale(cfg) is None:
         raise ValueError(
-            "bitpal engine requires global (k, 0, -k) scoring; use impl="
-            "'pallas' or 'xla' for general configurations"
+            "bitpal engine requires unit-equivalent global scoring "
+            "(2*gap == 3*mismatch - 2*match); use impl='pallas' or 'xla'"
         )
     s1 = jnp.asarray(s1, jnp.int32)
     s2 = jnp.asarray(s2, jnp.int32)
@@ -938,9 +955,10 @@ def score_fn(
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)``.  ``cols_per_step`` > 1 selects the R-column kernel
     (``_rc_kernel_body``)."""
-    k = supported_scale(cfg)
-    if k is None:
-        raise ValueError("bitpal engine requires global (k, 0, -k) scoring")
+    if supported_scale(cfg) is None:
+        raise ValueError(
+            "bitpal engine requires unit-equivalent global scoring"
+        )
     if m == 0 or n == 0:
         return lambda s1, s2: jnp.int32(cfg.gap * (m + n))
     s1_is_query = _orientation(m, n)
@@ -953,7 +971,7 @@ def score_fn(
 
     if mt > text_cap:
         return _score_chunked_fn(
-            s1_is_query, k, nq, mt, nw, rows, valid, unroll, text_cap,
+            s1_is_query, cfg, nq, mt, nw, rows, valid, unroll, text_cap,
             interpret=interpret,
         )
 
@@ -972,7 +990,7 @@ def score_fn(
                 _eq_planes(query, nq, nw, rows),
                 mt, rows, total_rc, unroll, rc, interpret,
             )
-            return k * _reduce_score(planes, valid, mt, nq)
+            return _from_unit(cfg, mt + nq, _reduce_score(planes, valid, mt, nq))
 
         return fn_rc
 
@@ -987,14 +1005,14 @@ def score_fn(
             unroll,
             interpret,
         )
-        return k * _reduce_score(planes, valid, mt, nq)
+        return _from_unit(cfg, mt + nq, _reduce_score(planes, valid, mt, nq))
 
     return fn
 
 
 def _score_chunked_fn(
     s1_is_query: bool,
-    k: int,
+    cfg: ScoringConfig,
     nq: int,
     mt: int,
     nw: int,
@@ -1046,6 +1064,7 @@ def _score_chunked_fn(
             init_chunk_state(rows),
             (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
         )
-        return k * _reduce_score((state[0], state[1]), valid, mt, nq)
+        unit = _reduce_score((state[0], state[1]), valid, mt, nq)
+        return _from_unit(cfg, mt + nq, unit)
 
     return fn

@@ -142,10 +142,9 @@ def align(
     """Score plus aligned strings, Hirschberg bisection over the bit-parallel
     engine.  ``s1`` = text (columns), ``s2`` = query (rows), matching
     :func:`tpualign.api.align`."""
-    k = bitpal.supported_scale(cfg)
-    if k is None:
+    if bitpal.supported_scale(cfg) is None:
         raise ValueError(
-            "hirschberg alignment requires global (k, 0, -k) scoring; "
+            "hirschberg alignment requires unit-equivalent global scoring; "
             "use the checkpointed traceback for general configurations"
         )
     s1 = np.asarray(s1, np.int32)

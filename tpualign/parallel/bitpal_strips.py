@@ -165,10 +165,9 @@ def score_fn(
 ):
     """Jittable sharded ``(s1, s2) -> score``; ``s1`` = text (columns),
     ``s2`` = query (rows, sharded as 31-row words over the mesh)."""
-    k = bitpal.supported_scale(cfg)
-    if k is None:
+    if bitpal.supported_scale(cfg) is None:
         raise ValueError(
-            "bitpal_strips requires global (k, 0, -k) scoring; "
+            "bitpal_strips requires unit-equivalent global scoring; "
             "use parallel.strips for general configurations"
         )
     if mesh is None:
@@ -194,7 +193,7 @@ def score_fn(
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
         eq = _eq_planes_sharded(s2, n, nw, nw_local, rows, P)
         text = _pack_text_chunks(s1, m, t_steps, n_chunks)
-        return k * sharded(eq, text)[0]
+        return bitpal._from_unit(cfg, m + n, sharded(eq, text)[0])
 
     return fn
 
