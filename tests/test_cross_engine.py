@@ -1,0 +1,48 @@
+"""Cross-engine score agreement under randomized configurations.
+
+The reference's de-facto integration test was agreement of ``Score:`` across
+its 16 kernel binaries on the same input (SURVEY.md §4).  This is that
+discipline, randomized: every applicable engine must produce the oracle's
+score for random (lengths, alphabet, scoring, mode) draws."""
+
+import numpy as np
+import pytest
+
+from tpualign.config import AlignMode, ScoringConfig
+from tpualign.io.bdna import random_pair
+from tpualign.ops import bitpal, oracle, pallas_diag, xla
+from tpualign.parallel import bitpal_strips, strips
+from tpualign.parallel.mesh import make_mesh
+
+
+def _random_cfg(rng) -> ScoringConfig:
+    mode = AlignMode.LOCAL if rng.integers(2) else AlignMode.GLOBAL
+    return ScoringConfig(
+        match=int(rng.integers(1, 6)),
+        mismatch=int(rng.integers(-4, 2)),
+        gap=int(rng.integers(-5, 0)),
+        mode=mode,
+    )
+
+
+def test_cross_engine_fuzz(rng):
+    mesh = make_mesh(4)
+    for trial in range(12):
+        m = int(rng.integers(1, 220))
+        n = int(rng.integers(1, 220))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        cfg = _random_cfg(rng)
+        want = oracle.score(s1, s2, cfg)
+        got = {"xla": xla.score(s1, s2, cfg)}
+        try:
+            got["pallas"] = pallas_diag.score(s1, s2, cfg, interpret=True)
+        except ValueError:
+            pass  # outside the natural-boundary envelope (gap > 0 etc.)
+        got["strips"] = strips.score(s1, s2, cfg, mesh=mesh, chunk_rows=64)
+        if bitpal.supported_scale(cfg) is not None:
+            got["bitpal"] = bitpal.score(s1, s2, cfg, interpret=True)
+            got["bitpal_strips"] = bitpal_strips.score(
+                s1, s2, cfg, mesh=mesh, chunk_cols=32, interpret=True
+            )
+        for name, v in got.items():
+            assert v == want, (trial, name, cfg, m, n, v, want)
