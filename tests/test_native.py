@@ -73,3 +73,18 @@ def test_native_traceback_matches_oracle():
     cfg = ScoringConfig(match=2, mismatch=-1, gap=-3)
     s1, s2 = random_pair(90, 70, seed=4)
     assert native.traceback(s1, s2, cfg) == oracle.traceback(s1, s2, cfg)
+
+
+def test_native_traceback_degenerate():
+    import numpy as np
+    import pytest
+
+    from tpualign.ops import oracle
+    from tpualign.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    a = np.asarray([1, 2, 3], np.int8)
+    e = np.empty(0, np.int8)
+    for s1, s2 in [(a, e), (e, a), (e, e), (a, a)]:
+        assert native.traceback(s1, s2) == oracle.traceback(s1, s2)

@@ -66,27 +66,43 @@ def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
     unroll = UNROLL_INTERPRET if interpret else UNROLL
     rows = _round_up(nw_cap, bitpal.GRAIN) // LANES
     nq_cap = nw_cap * WORD
-    t_steps = _round_up(t_cap + 2 * nw_cap, max(unroll, 16))
+    # texts beyond the SMEM budget scan the chunk kernel over slices (state
+    # carried on-device), exactly like bitpal._score_chunked_fn
+    slice_cap = bitpal.TEXT_SMEM_CAP // 2
+    t_steps = _round_up(min(t_cap + 2 * nw_cap, slice_cap), max(unroll, 16))
+    n_chunks = -(-(t_cap + 2 * nw_cap) // t_steps)
 
     def fn(query_pad: jax.Array, text_pad: jax.Array, mt: jax.Array):
         eq = bitpal._eq_planes(query_pad, nq_cap, nw_cap, rows)
-        tfull = jnp.zeros((t_steps,), jnp.int32)
+        tfull = jnp.zeros((n_chunks * t_steps,), jnp.int32)
         tfull = jax.lax.dynamic_update_slice(tfull, text_pad, (0,))
         shifts8 = jnp.arange(8, dtype=jnp.int32) * 4
         tpacked = jnp.sum(
-            tfull.reshape(t_steps // 8, 8) << shifts8[None, :],
-            axis=1, dtype=jnp.int32,
+            tfull.reshape(n_chunks, t_steps // 8, 8) << shifts8[None, None, :],
+            axis=2, dtype=jnp.int32,
         )
-        state, _ = bitpal.chunk_call(
-            jnp.stack([jnp.int32(0), mt.astype(jnp.int32)]),
-            tpacked,
-            jnp.zeros((t_steps // 16,), jnp.int32),
-            eq,
+        ustream = jnp.zeros((t_steps // 16,), jnp.int32)
+
+        def chunk(state, x):
+            q, tchunk = x
+            new_state, _ = bitpal.chunk_call(
+                jnp.stack([q * t_steps, mt.astype(jnp.int32)]),
+                tchunk,
+                ustream,
+                eq,
+                state,
+                rows=rows,
+                t_steps=t_steps,
+                r_star=None,
+                unroll=unroll,
+                interpret=interpret,
+            )
+            return new_state, None
+
+        state, _ = jax.lax.scan(
+            chunk,
             bitpal.init_chunk_state(rows),
-            rows=rows,
-            t_steps=t_steps,
-            r_star=None,
-            interpret=interpret,
+            (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
         )
         b0, b1 = state[0], state[1]
 

@@ -138,10 +138,13 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
     ops = ops[:ln][::-1]  # 0 = diag, 1 = up (gap in s1), 2 = left (gap in s2)
     # vectorized string rebuild: char code 0 renders as the gap symbol
     lut = np.frombuffer(b"-ATGC", dtype=np.uint8)
-    take1 = ops != 1
-    take2 = ops != 2
-    c1 = np.where(take1, s1[np.cumsum(take1) - 1], 0).astype(np.int64)
-    c2 = np.where(take2, s2[np.cumsum(take2) - 1], 0).astype(np.int64)
-    a1 = lut[c1].tobytes().decode()
-    a2 = lut[c2].tobytes().decode()
+
+    def render(seq, take):
+        if seq.size == 0:
+            return np.zeros(take.size, np.int64)
+        idx = np.maximum(np.cumsum(take) - 1, 0)
+        return np.where(take, seq[idx], 0).astype(np.int64)
+
+    a1 = lut[render(s1, ops != 1)].tobytes().decode()
+    a2 = lut[render(s2, ops != 2)].tobytes().decode()
     return int(score[0]), a1, a2
