@@ -61,7 +61,7 @@ def main() -> None:
     # perturbs the first input char of every iteration after the first, so
     # no iteration can be CSEd or hoisted; iteration 0 computes the true
     # score, which is checked against the golden value.
-    K = 8
+    K = 12
     sentinel = jnp.int32(-(2**30))
 
     @jax.jit
