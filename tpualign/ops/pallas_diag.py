@@ -153,14 +153,11 @@ def _wavefront_core(
     def advance_window(w, d):
         # w_flat[k] = s1[d-1-k].  New element s1[d-1] enters at slot 0
         # (clamped index: d-1 >= m only feeds dead columns); slots that rolled
-        # in before step 1 are dead likewise.  The (1,1) keepdims reduce keeps
-        # the element vector-resident (no vector->scalar-core roundtrip).
+        # in before step 1 are dead likewise.  The char comes from SMEM via
+        # the scalar core (8 chars per int32): a vector-lane extract here
+        # would put an ~80-cycle cross-lane reduce on the loop-carried chain.
         idx = jnp.minimum(d - 1, m - 1)
-        row = s1_ref[pl.ds(idx // LANES, 1), :]
-        val = jnp.max(
-            jnp.where(lane_row == idx % LANES, row, NEG_INF),
-            axis=1, keepdims=True,
-        )
+        val = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
         return jnp.where(k_is0, val, _shift_down_one(w))
 
     def one_diag(d, w, a, as_, bs):
@@ -318,7 +315,7 @@ def _diag_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -364,7 +361,7 @@ def _diag_ckpt_call(
         kernel,
         out_shape=out_shape,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -413,16 +410,22 @@ def forward_checkpoints(
 def _prepare(
     s1: jax.Array, s2: jax.Array
 ) -> Tuple[jax.Array, jax.Array, int, int, int, int]:
-    """Stage ``s1`` row-major for per-step sublane access and build the
+    """Pack ``s1`` 8-chars-per-int32 for SMEM scalar reads and build the
     shifted-s2 buffer (``s2v[k] = s2[k-1]``)."""
     m = int(s1.shape[0])
     n = int(s2.shape[0])
     rows = _round_up(n + 2, GRAIN) // LANES
-    s1_rows = _round_up(m, GRAIN) // LANES
-    s1_staged = _pad_to_grid(s1.astype(jnp.int32), s1_rows)
+    n_words = -(-m // 8)
+    s1_rows = n_words  # retained in the signature for callers
+    tpad = jnp.zeros((n_words * 8,), jnp.int32)
+    tpad = jax.lax.dynamic_update_slice(tpad, s1.astype(jnp.int32), (0,))
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    s1_packed = jnp.sum(
+        tpad.reshape(n_words, 8) << shifts[None, :], axis=1, dtype=jnp.int32
+    )
     s2v = jnp.pad(s2.astype(jnp.int32), (1, 0), constant_values=-1)
     s2v_pad = _pad_to_grid(s2v, rows, fill=-1)
-    return s1_staged, s2v_pad, n, m, rows, s1_rows
+    return s1_packed, s2v_pad, n, m, rows, s1_rows
 
 
 def _check_cfg(cfg: ScoringConfig, total: int) -> None:
