@@ -22,7 +22,7 @@ def test_supported_scale():
     assert bitpal.supported_scale(UNIT) == 1
     assert bitpal.supported_scale(ScoringConfig(match=3, mismatch=0, gap=-3)) == 3
     assert bitpal.supported_scale(ScoringConfig(match=2, mismatch=1, gap=-2)) is None
-    assert bitpal.supported_scale(ScoringConfig(gap=-2)) is None
+    assert bitpal.family(ScoringConfig(gap=-2)) == (1, 2)  # g=2 member
     assert bitpal.supported_scale(ScoringConfig(mode=AlignMode.LOCAL)) is None
 
 
@@ -132,7 +132,7 @@ def test_api_batch_dispatch(rng):
         want.append(oracle.score(s1, s2, UNIT))
     got = tpualign.align_score_batch(texts, queries)
     assert got.tolist() == want
-    # non-bitpal configs take the per-pair fallback
+    # non-batchable configs (g != 1) take the per-pair fallback
     cfg = ScoringConfig(gap=-2)
     got2 = tpualign.align_score_batch(texts, queries, cfg)
     assert got2.tolist() == [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
@@ -170,3 +170,20 @@ def test_affine_family_rejects_nonmember():
                 ScoringConfig(match=1, mismatch=1, gap=-1),
                 ScoringConfig(match=1, mismatch=-1, gap=-2)):
         assert bitpal.supported_scale(cfg) is None
+
+
+@pytest.mark.parametrize(
+    "match,mismatch,gap",
+    [(1, 0, -2), (3, 2, -1), (2, 0, -4), (1, 0, -3), (4, 2, -5),
+     (1, 0, -7)],
+)
+def test_generalized_gap_family(match, mismatch, gap, rng):
+    cfg = ScoringConfig(match=match, mismatch=mismatch, gap=gap)
+    fam = bitpal.family(cfg)
+    assert fam is not None and fam[1] >= 2, fam
+    for _ in range(4):
+        m = int(rng.integers(1, 220))
+        n = int(rng.integers(1, 220))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        got = bitpal.score(s1, s2, cfg, interpret=True)
+        assert got == oracle.score(s1, s2, cfg), (match, mismatch, gap, m, n)

@@ -65,7 +65,14 @@ def align_score(
     if impl == "bitpal":
         from .ops import bitpal
 
-        return bitpal.score(s1, s2, scoring, interpret=engine.interpret)
+        try:
+            return bitpal.score(s1, s2, scoring, interpret=engine.interpret)
+        except ValueError:  # outside this engine's envelope
+            impl = "pallas" if _platform() == "tpu" else "xla"
+            return align_score(
+                s1, s2, scoring,
+                EngineConfig(impl=impl, interpret=engine.interpret),
+            )
     if impl == "xla":
         from .ops import xla
 
@@ -109,7 +116,12 @@ def align(
         # bit-parallel Hirschberg bisection: fastest large-alignment path;
         # returns an optimal path whose tie order may differ from the
         # oracle's diag>up>left convention (use impl='pallas' for that)
-        return hirschberg.align(s1, s2, scoring, interpret=engine.interpret)
+        try:
+            return hirschberg.align(
+                s1, s2, scoring, interpret=engine.interpret
+            )
+        except ValueError:  # outside the bisection's scoring envelope
+            pass
     if impl == "pallas":
         from .ops import traceback_diag
 

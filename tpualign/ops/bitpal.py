@@ -99,27 +99,44 @@ UNROLL_INTERPRET = 2
 MAX_WORDS = 512 * 1024
 
 
-def supported_scale(cfg: ScoringConfig) -> Optional[int]:
-    """Return ``M - X`` if ``cfg`` is global scoring affinely equivalent to
-    the unit scheme ``(1, 0, -1)``, else None.
+#: largest reduced gap weight the generalized kernel supports (delta
+#: encodings of 2g+2 values must fit the hand-off pack next to the char)
+MAX_G = 7
+
+
+def family(cfg: ScoringConfig):
+    """``(mult, g)`` if ``cfg`` is global scoring affinely equivalent to
+    ``(1, 0, -g)`` for an integer ``1 <= g <= MAX_G``, else None.
 
     For any alignment of sequences with lengths m, n: matches a, mismatches
-    b, gaps g satisfy ``2(a + b) + g = m + n``, so
+    b, gaps G satisfy ``2(a + b) + G# = m + n`` (G# = gap count), so
 
-        S = M a + X b + G g = X (m+n)/2 + (M-X) a + (G - X/2) g.
+        S = M a + X b + G G# = X (m+n)/2 + (M-X) a + (G - X/2) G#.
 
-    When ``2G == 3X - 2M`` (and ``M > X`` so the map is order-preserving)
-    this is ``X (m+n)/2 + (M-X) (a - g)`` — an exact affine function of the
-    unit-scheme score ``S' = a - g``:  ``S = (X (m+n) + 2 (M-X) S') / 2``
-    (always integral).  The family includes ``(k, 0, -k)`` and realistic
-    schemes like ``(1, -2, -4)`` or ``(5, 2, -2)``.
+    When ``G - X/2 == -g (M-X)`` (and ``M > X`` so the map is
+    order-preserving) this is an exact affine function of the reduced score
+    ``S_g = a - g G#`` — the score under ``(1, 0, -g)``:
+    ``S = (X (m+n) + 2 (M-X) S_g) / 2`` (always integral).  Examples:
+    g=1 covers ``(k,0,-k)``, ``(1,-2,-4)``, ``(5,2,-2)``; g=2 covers
+    ``(1,0,-2)``, ``(2,0,-4)``, ``(3,2,-1)``; most realistic linear-gap
+    scorings land at some small g.
     """
     if cfg.is_local:
         return None
     mult = cfg.match - cfg.mismatch
-    if mult > 0 and 2 * cfg.gap == 3 * cfg.mismatch - 2 * cfg.match:
-        return mult
-    return None
+    if mult <= 0:
+        return None
+    num = cfg.mismatch - 2 * cfg.gap  # = 2 g (M-X) when a member
+    if num <= 0 or num % (2 * mult):
+        return None
+    g = num // (2 * mult)
+    return (mult, g) if 1 <= g <= MAX_G else None
+
+
+def supported_scale(cfg: ScoringConfig) -> Optional[int]:
+    """Back-compat gate: the affine multiplier when :func:`family` matches."""
+    fam = family(cfg)
+    return fam[0] if fam else None
 
 
 def _from_unit(cfg: ScoringConfig, total_len, unit_score):
@@ -313,6 +330,166 @@ def _bitpal_kernel_body(
     # update mask is empty once every word is past column mt) and change
     # nothing
     jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+
+
+def _add_planes(A, Bp):
+    """Bit-sliced ripple add of two plane lists (mod 2^len)."""
+    out = []
+    carry = None
+    for b in range(len(A)):
+        x = A[b]
+        y = Bp[b] if b < len(Bp) else None
+        if y is None:
+            s_ = x if carry is None else x ^ carry
+            carry = None if carry is None else x & carry
+        else:
+            s_ = x ^ y if carry is None else x ^ y ^ carry
+            carry = x & y if carry is None else (x & y) | (carry & (x ^ y))
+        out.append(s_)
+    return out
+
+
+def _g_plane_step(g, E, V, u):
+    """Generalized :func:`_plane_step` for the reduced scheme ``(1, 0, -g)``.
+
+    Deltas live in ``[-g, 1+g]``; ``enc = delta + g`` in ``[0, 2g+1]`` as
+    ``B = bit_length(2g+1)`` bit planes.  ``V`` = stored vertical-delta
+    planes, ``u`` = h_top planes.  The promotion bit is binary exactly as at
+    g=1 (``T = max(s, h-g, v-g)`` and ``h-g <= 1``): ``P = s | (v = 1+g) |
+    (h = 1+g)``, propagating through runs of ``enc_v = 0`` via the Myers
+    add.  Outputs ``enc_out = P + 2g - enc_in`` via bit-sliced adders.
+    Returns new ``V`` planes and the h_out planes (caller packs the bottom
+    bits).  Bigint-validated for g = 1..4 before porting.
+    """
+    B = len(V)
+    vmax = 2 * g + 1
+    nV = [v ^ MASK31 for v in V]
+    enc_is0 = nV[0]
+    for b in range(1, B):
+        enc_is0 = enc_is0 & nV[b]
+    enc_ismax = V[0] if vmax & 1 else nV[0]
+    for b in range(1, B):
+        enc_ismax = enc_ismax & (V[b] if (vmax >> b) & 1 else nV[b])
+    c_in = u[0] if vmax & 1 else (u[0] ^ MASK31)  # h_top == vmax pattern
+    for b in range(1, B):
+        c_in = c_in & (u[b] if (vmax >> b) & 1 else (u[b] ^ MASK31))
+    S = E | enc_ismax
+    summ = enc_is0 + (E & enc_is0) + (c_in & 1)
+    received = summ ^ enc_is0
+    P = (S | received) & MASK31  # adders below need a clean bit 31
+    const = [jnp.int32(MASK31) if (vmax >> b) & 1 else jnp.int32(0)
+             for b in range(B)]  # + (2g + 1) == + vmax
+    U = _add_planes(nV, const)  # 2g - enc == (2g+1) + ~enc  (mod 2^B)
+    U = _add_planes(U, [P])
+    U = [x & MASK31 for x in U]
+    Ui = [((x << 1) & MASK31) | u[b] for b, x in enumerate(U)]
+    Vn = _add_planes([x ^ MASK31 for x in Ui], const)
+    Vn = _add_planes(Vn, [P])
+    return [x & MASK31 for x in Vn], U
+
+
+def _g_kernel_body(
+    g: int,
+    mt: int,
+    rows: int,
+    total: int,
+    unroll: int,
+    text_ref,
+    eq_ref,
+    *refs,
+):
+    """Generalized single-shot wavefront for ``(1, 0, -g)``: same schedule,
+    layout, and hand-off machinery as ``_bitpal_kernel_body`` with B-bit
+    delta planes.  ``refs`` = B plane outputs, then scratch cta, ctb, pend.
+    The hand-off pack carries h_out enc at bits [0, B) and the char at
+    bits [B, B+4)."""
+    B = max(1, (2 * g + 1).bit_length())
+    v_out = refs[:B]
+    cta_ref, ctb_ref, pend_ref = refs[B], refs[B + 1], refs[B + 2]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    offs = 2 * (row_i + rows * lane_i)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eq = [eq_ref[c] for c in range(ALPHABET)]
+
+    for r in v_out:  # column-0 boundary: v = -g -> enc 0
+        r[:] = jnp.zeros((rows, LANES), jnp.int32)
+    cta_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    ctb_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+    def step(d, uu):
+        ct_ref = cta_ref if uu % 2 == 0 else ctb_ref
+        idx = jnp.minimum(d - 1, mt - 1)
+        val = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+        pend_row = pend_ref[uu % 2 : uu % 2 + 1, :]
+        # word 0's h_top is the boundary: h = -g -> enc 0 -> low bits 0
+        row0 = jnp.where(lane_row == 0, val << B, pend_row)
+        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
+        win = cts >> B
+        E = jnp.where(
+            win <= 2,
+            jnp.where(win == 1, eq[0], eq[1]),
+            jnp.where(win == 3, eq[2], eq[3]),
+        )
+        u = [(cts >> b) & 1 for b in range(B)]
+        Vn, U = _g_plane_step(g, E, [r[:] for r in v_out], u)
+        upd = (offs <= d - 1) & (offs >= d - mt)
+        for r, vn in zip(v_out, Vn):
+            r[:] = jnp.where(upd, vn, r[:])
+        tp = (U[0] >> (WORD - 1)) & 1
+        for b in range(1, B):
+            tp = tp | ((U[b] >> (WORD - 1 - b)) & (1 << b))
+        ctn = tp | (cts & ~jnp.int32((1 << B) - 1))
+        ct_ref[:] = ctn
+        pend_ref[uu % 2 : uu % 2 + 1, :] = pltpu.roll(
+            ctn[rows - 1 : rows, :], 1, axis=1
+        )
+
+    def body(tt, _):
+        d0 = unroll * tt + 1
+        for uu in range(unroll):
+            step(d0 + uu, uu)
+        return 0
+
+    jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "mt", "rows", "total", "unroll",
+                              "interpret")
+)
+def _g_call(
+    text_packed: jax.Array,
+    eq_planes: jax.Array,
+    g: int,
+    mt: int,
+    rows: int,
+    total: int,
+    unroll: int,
+    interpret: bool,
+):
+    B = max(1, (2 * g + 1).bit_length())
+    kernel = functools.partial(_g_kernel_body, g, mt, rows, total, unroll)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(B)
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(B)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(text_packed, eq_planes)
 
 
 def _rc_kernel_body(
@@ -519,9 +696,10 @@ def score_batch_fn(
     (batch,) scores``, all pairs padded to ``(m_cap, n_cap)`` with true
     lengths passed as data.  One dispatch fills every pair; see
     ``_batch_kernel_body``."""
-    if supported_scale(cfg) is None:
+    fam = family(cfg)
+    if fam is None or fam[1] != 1:
         raise ValueError(
-            "bitpal engine requires unit-equivalent global scoring"
+            "batched scoring requires the g=1 (unit-equivalent) family"
         )
     unroll = UNROLL_INTERPRET if interpret else UNROLL
     nw = -(-n_cap // WORD)
@@ -968,6 +1146,31 @@ def score_fn(
     if nw > MAX_WORDS:
         raise ValueError("sequence too long for the VMEM-resident kernel")
     valid = jnp.asarray(_valid_mask(nq, nw, rows))
+
+    _, gval = family(cfg)
+    if gval > 1:
+        if mt > text_cap:
+            raise ValueError(
+                "generalized-gap bitpal path is single-shot only; text too "
+                "long — use impl='pallas'"
+            )
+        B = max(1, (2 * gval + 1).bit_length())
+
+        def fn_g(s1: jax.Array, s2: jax.Array) -> jax.Array:
+            query, text = (s1, s2) if s1_is_query else (s2, s1)
+            planes = _g_call(
+                _pack_text(text, mt),
+                _eq_planes(query, nq, nw, rows),
+                gval, mt, rows, total, unroll, interpret,
+            )
+            pc = lambda x: jnp.sum(  # noqa: E731
+                jax.lax.population_count(x & valid)
+            )
+            enc_sum = sum((1 << b) * pc(planes[b]) for b in range(B))
+            unit = enc_sum - gval * (mt + nq)
+            return _from_unit(cfg, mt + nq, unit)
+
+        return fn_g
 
     if mt > text_cap:
         return _score_chunked_fn(

@@ -158,10 +158,11 @@ def align(
     """Score plus aligned strings, Hirschberg bisection over the bit-parallel
     engine.  ``s1`` = text (columns), ``s2`` = query (rows), matching
     :func:`tpualign.api.align`."""
-    if bitpal.supported_scale(cfg) is None:
+    fam = bitpal.family(cfg)
+    if fam is None or fam[1] != 1:
         raise ValueError(
-            "hirschberg alignment requires unit-equivalent global scoring; "
-            "use the checkpointed traceback for general configurations"
+            "hirschberg alignment requires the g=1 (unit-equivalent) "
+            "family; use the checkpointed traceback otherwise"
         )
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)

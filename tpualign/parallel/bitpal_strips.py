@@ -165,9 +165,10 @@ def score_fn(
 ):
     """Jittable sharded ``(s1, s2) -> score``; ``s1`` = text (columns),
     ``s2`` = query (rows, sharded as 31-row words over the mesh)."""
-    if bitpal.supported_scale(cfg) is None:
+    fam = bitpal.family(cfg)
+    if fam is None or fam[1] != 1:
         raise ValueError(
-            "bitpal_strips requires unit-equivalent global scoring; "
+            "bitpal_strips requires the g=1 (unit-equivalent) family; "
             "use parallel.strips for general configurations"
         )
     if mesh is None:
