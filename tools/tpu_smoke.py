@@ -51,6 +51,8 @@ def main():
     rng = np.random.default_rng(7)
     for cfg in (ScoringConfig(),
                 ScoringConfig(match=1, mismatch=-2, gap=-4),
+                ScoringConfig(gap=-2),  # generalized-g kernel
+                ScoringConfig(match=3, mismatch=2, gap=-1),
                 ScoringConfig(mode=AlignMode.LOCAL)):
         s1, s2 = random_pair(3001, 2777, seed=int(rng.integers(1 << 30)))
         want = oracle.score(s1, s2, cfg)
