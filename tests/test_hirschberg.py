@@ -71,3 +71,8 @@ def test_unsupported_cfg():
     s1, s2 = random_pair(10, 10, seed=0)
     with pytest.raises(ValueError):
         hirschberg.align(s1, s2, ScoringConfig(gap=-2))
+
+
+@pytest.mark.parametrize("m,n", [(400, 12), (12, 400), (350, 31)])
+def test_extreme_aspect_ratios(m, n):
+    _check(m, n, seed=m * 7 + n, base_cells=256)
