@@ -187,3 +187,15 @@ def test_generalized_gap_family(match, mismatch, gap, rng):
         s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
         got = bitpal.score(s1, s2, cfg, interpret=True)
         assert got == oracle.score(s1, s2, cfg), (match, mismatch, gap, m, n)
+
+
+def test_chunked_text_generalized_gap(rng):
+    import jax.numpy as jnp
+    cfg = ScoringConfig(gap=-2)
+    for _ in range(3):
+        m = int(rng.integers(100, 350))
+        n = int(rng.integers(5, 150))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        fn = bitpal.score_fn(m, n, cfg, interpret=True, text_cap=64)
+        got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
+        assert got == oracle.score(s1, s2, cfg), (m, n)

@@ -64,3 +64,14 @@ def test_matches_single_chip_kernel():
     got = bitpal_strips.score(s1, s2, UNIT, mesh=mesh, chunk_cols=32,
                               interpret=True)
     assert got == bitpal.score(s1, s2, UNIT, interpret=True)
+
+
+def test_generalized_gap_sharded():
+    from tpualign.ops import oracle as _oracle
+
+    for cfg in (ScoringConfig(gap=-2), ScoringConfig(match=3, mismatch=2, gap=-1),
+                ScoringConfig(gap=-3)):
+        s1, s2 = random_pair(140, 170, seed=13)
+        got = bitpal_strips.score(s1, s2, cfg, mesh=make_mesh(4),
+                                  chunk_cols=32, interpret=True)
+        assert got == _oracle.score(s1, s2, cfg), cfg

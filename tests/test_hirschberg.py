@@ -70,7 +70,13 @@ def test_matches_exact_traceback_score():
 def test_unsupported_cfg():
     s1, s2 = random_pair(10, 10, seed=0)
     with pytest.raises(ValueError):
-        hirschberg.align(s1, s2, ScoringConfig(gap=-2))
+        hirschberg.align(s1, s2, ScoringConfig(match=1, mismatch=1, gap=-1))
+
+
+def test_generalized_gap_alignment():
+    # g=2 and g=3 families route through the generalized chunk kernel
+    for cfg in (ScoringConfig(gap=-2), ScoringConfig(match=3, mismatch=2, gap=-1)):
+        _check(130, 140, seed=11, cfg=cfg, base_cells=256)
 
 
 @pytest.mark.parametrize("m,n", [(400, 12), (12, 400), (350, 31)])

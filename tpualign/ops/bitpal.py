@@ -817,19 +817,16 @@ def score_batch(texts, queries, cfg: ScoringConfig = ScoringConfig(),
 
 
 def _chunk_kernel_body(
+    g: int,
     rows: int,
     t_steps: int,
     unroll: int,
     r_star: Optional[int],
-    # inputs
-    d0_ref,  # SMEM (2,): [global step base of this chunk (q*T, even), mt]
-    text_ref,  # SMEM (t_steps//8,): this chunk's chars, 8 per int32
-    ustream_ref,  # SMEM (t_steps//16,): word-0 h_top stream, 16 x 2b per int32
-    eq_ref,  # (ALPHABET, rows, LANES) match planes
-    b0_in, b1_in, cta_in, ctb_in, pend_in,
-    # outputs
-    b0_out, b1_out, cta_out, ctb_out, pend_out,
-    tail_out=None,  # (t_steps, LANES): row r_star of the hand-off buffer
+    # refs: d0/mt SMEM (2,), text SMEM (t_steps//8,), ustream SMEM
+    # (t_steps // (32 // B) entries of B bits), eq (ALPHABET, rows, LANES),
+    # then B+3 state inputs (delta planes, cta, ctb, pend), B+3 state
+    # outputs, and optionally the (t_steps, LANES) tail capture
+    *refs,
 ):
     """Resumable T-step slice of the bit-parallel wavefront (multi-chip).
 
@@ -843,15 +840,25 @@ def _chunk_kernel_body(
     ping-pong parity is continuous across chunk boundaries.  ``mt`` (the true
     text length, bounding the per-word freeze) is dynamic — callers with many
     distinct segment shapes (the Hirschberg bisection) bucket their padded
-    shapes into a handful of compilations."""
+    shapes into a handful of compilations.  ``g`` selects the reduced scheme
+    ``(1, 0, -g)``: g=1 runs the hand-tuned 2-bit plane step, g>=2 the
+    generic B-bit plane algebra (``_g_plane_step``)."""
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    epw = 32 // B  # ustream entries per int32
+    d0_ref, text_ref, ustream_ref, eq_ref = refs[:4]
+    v_in = refs[4 : 4 + B]
+    cta_in, ctb_in, pend_in = refs[4 + B : 7 + B]
+    v_out = refs[7 + B : 7 + 2 * B]
+    cta_out, ctb_out, pend_out = refs[7 + 2 * B : 10 + 2 * B]
+    tail_out = refs[10 + 2 * B] if len(refs) > 10 + 2 * B else None
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     offs = 2 * (row_i + rows * lane_i)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
-    b0_out[:] = b0_in[:]
-    b1_out[:] = b1_in[:]
+    for r_out, r_in in zip(v_out, v_in):
+        r_out[:] = r_in[:]
     cta_out[:] = cta_in[:]
     ctb_out[:] = ctb_in[:]
     pend_out[:] = pend_in[:]
@@ -862,23 +869,33 @@ def _chunk_kernel_body(
         d = d0 + dl  # global (chip-local cumulative) step
         ct_ref = cta_out if u % 2 == 0 else ctb_out
         val = (text_ref[(dl - 1) >> 3] >> (((dl - 1) & 7) << 2)) & 15
-        ub = (ustream_ref[(dl - 1) >> 4] >> (((dl - 1) & 15) << 1)) & 3
+        ub = (
+            ustream_ref[(dl - 1) // epw] >> (((dl - 1) % epw) * B)
+        ) & ((1 << B) - 1)
         pend_row = pend_out[u % 2 : u % 2 + 1, :]
-        row0 = jnp.where(lane_row == 0, (val << 2) | ub, pend_row)
+        row0 = jnp.where(lane_row == 0, (val << B) | ub, pend_row)
         cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
-        win = cts >> 2
+        win = cts >> B
         E = jnp.where(
             win <= 2,
             jnp.where(win == 1, eq[0], eq[1]),
             jnp.where(win == 3, eq[2], eq[3]),
         )
-        u0 = cts & 1
-        u1 = (cts >> 1) & 1
-        b0n, b1n, tp = _plane_step(E, b0_out[:], b1_out[:], u0, u1)
+        ubits = [(cts >> b) & 1 for b in range(B)]
+        if g == 1:
+            b0n, b1n, tp = _plane_step(
+                E, v_out[0][:], v_out[1][:], ubits[0], ubits[1]
+            )
+            Vn = [b0n, b1n]
+        else:
+            Vn, U = _g_plane_step(g, E, [r[:] for r in v_out], ubits)
+            tp = (U[0] >> (WORD - 1)) & 1
+            for b in range(1, B):
+                tp = tp | ((U[b] >> (WORD - 1 - b)) & (1 << b))
         upd = (offs <= d - 1) & (offs >= d - mt)
-        b0_out[:] = jnp.where(upd, b0n, b0_out[:])
-        b1_out[:] = jnp.where(upd, b1n, b1_out[:])
-        ctn = tp | (cts & ~jnp.int32(3))
+        for r, vn in zip(v_out, Vn):
+            r[:] = jnp.where(upd, vn, r[:])
+        ctn = tp | (cts & ~jnp.int32((1 << B) - 1))
         ct_ref[:] = ctn
         if tail_out is not None:  # score-only callers skip the capture
             tail_out[pl.ds(dl - 1, 1), :] = ctn[r_star : r_star + 1, :]
@@ -900,13 +917,14 @@ def chunk_call(
     text_chunk: jax.Array,  # (t_steps//8,) packed chars
     ustream: jax.Array,  # (t_steps//16,) packed 2-bit h_top values
     eq_planes: jax.Array,
-    state,  # tuple of 5 arrays: b0, b1, cta, ctb, pend
+    state,  # tuple of B+3 arrays: delta planes..., cta, ctb, pend
     *,
     rows: int,
     t_steps: int,
     r_star: Optional[int],
     unroll: Optional[int] = None,
     interpret: bool = False,
+    g: int = 1,
 ):
     """Run one T-step chunk; returns ``(new_state, tail_rows)``.
 
@@ -915,11 +933,14 @@ def chunk_call(
     if unroll is None:
         unroll = UNROLL_INTERPRET if interpret else UNROLL
     assert t_steps % unroll == 0 and t_steps % 16 == 0
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    assert len(state) == B + 3, (len(state), B)
     kernel = functools.partial(
-        _chunk_kernel_body, rows, t_steps, unroll, r_star
+        _chunk_kernel_body, g, rows, t_steps, unroll, r_star
     )
     state_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
     with_tail = r_star is not None
+    n_state = B + 3
     out_shape = tuple(state_shapes)
     if with_tail:
         out_shape += (jax.ShapeDtypeStruct((t_steps, LANES), jnp.int32),)
@@ -928,20 +949,19 @@ def chunk_call(
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[smem, smem, smem] + [vmem] * 6,
-        out_specs=tuple([vmem] * (6 if with_tail else 5)),
+        in_specs=[smem, smem, smem] + [vmem] * (n_state + 1),
+        out_specs=tuple([vmem] * (n_state + (1 if with_tail else 0))),
         interpret=interpret,
     )(d0_mt, text_chunk, ustream, eq_planes, *state)
-    return out[:5], (out[5] if with_tail else None)
+    return out[:n_state], (out[n_state] if with_tail else None)
 
 
-def init_chunk_state(rows: int):
-    """Initial kernel state: column-0 DP boundary — v = gap everywhere,
-    i.e. enc 0, so both delta planes start zero."""
+def init_chunk_state(rows: int, g: int = 1):
+    """Initial kernel state: column-0 DP boundary — v = -g everywhere,
+    i.e. enc 0, so every delta plane starts zero."""
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
     z = jnp.zeros((rows, LANES), jnp.int32)
-    return (
-        z,  # b0
-        z,  # b1
+    return tuple([z] * B) + (
         z,  # cta
         z,  # ctb
         jnp.zeros((SUBLANES, LANES), jnp.int32),  # pend
@@ -1048,12 +1068,12 @@ def _valid_mask(nq: int, nw: int, rows: int) -> np.ndarray:
     return mask.reshape(LANES, rows).T  # column-major word placement
 
 
-def _reduce_score(planes, valid, mt: int, nq: int) -> jax.Array:
-    """H(nq, mt) = mt*gap + sum of final-column deltas; per row the delta is
-    ``enc - 1 = b0 + 2*b1 - 1``."""
-    b0, b1 = (p & valid for p in planes)
-    pc = lambda x: jnp.sum(jax.lax.population_count(x))  # noqa: E731
-    return pc(b0) + 2 * pc(b1) - (mt + nq)
+def _reduce_score(planes, valid, mt: int, nq: int, g: int = 1) -> jax.Array:
+    """H(nq, mt) = -g*mt + sum of final-column deltas; per row the delta is
+    ``enc - g = sum_b 2^b plane_b  -  g``."""
+    pc = lambda x: jnp.sum(jax.lax.population_count(x & valid))  # noqa: E731
+    enc = sum((1 << b) * pc(pl_) for b, pl_ in enumerate(planes))
+    return enc - g * (mt + nq)
 
 
 def score(
@@ -1148,12 +1168,7 @@ def score_fn(
     valid = jnp.asarray(_valid_mask(nq, nw, rows))
 
     _, gval = family(cfg)
-    if gval > 1:
-        if mt > text_cap:
-            raise ValueError(
-                "generalized-gap bitpal path is single-shot only; text too "
-                "long — use impl='pallas'"
-            )
+    if gval > 1 and mt <= text_cap:
         B = max(1, (2 * gval + 1).bit_length())
 
         def fn_g(s1: jax.Array, s2: jax.Array) -> jax.Array:
@@ -1175,7 +1190,7 @@ def score_fn(
     if mt > text_cap:
         return _score_chunked_fn(
             s1_is_query, cfg, nq, mt, nw, rows, valid, unroll, text_cap,
-            interpret=interpret,
+            gval, interpret=interpret,
         )
 
     rc = cols_per_step
@@ -1223,6 +1238,7 @@ def _score_chunked_fn(
     valid: jax.Array,
     unroll: int,
     text_cap: int,
+    g: int = 1,
     interpret: bool = False,
 ):
     """Texts beyond the SMEM budget: ``lax.scan`` of the resumable chunk
@@ -1232,6 +1248,8 @@ def _score_chunked_fn(
     (2 bits/col), so chunks cap at half the single-shot budget."""
     t_steps = _round_up(min(text_cap, TEXT_SMEM_CAP // 2), max(unroll, 16))
     n_chunks = -(-(mt + 2 * (nw - 1)) // t_steps)
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    u_words = -(-t_steps // (32 // B))
 
     def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
         query, text = (s1, s2) if s1_is_query else (s2, s1)
@@ -1244,7 +1262,7 @@ def _score_chunked_fn(
             axis=2,
             dtype=jnp.int32,
         )
-        ustream = jnp.zeros((t_steps // 16,), jnp.int32)
+        ustream = jnp.zeros((u_words,), jnp.int32)
 
         def chunk(state, x):
             q, tchunk = x
@@ -1259,15 +1277,16 @@ def _score_chunked_fn(
                 r_star=None,
                 unroll=unroll,
                 interpret=interpret,
+                g=g,
             )
             return new_state, None
 
         state, _ = jax.lax.scan(
             chunk,
-            init_chunk_state(rows),
+            init_chunk_state(rows, g),
             (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
         )
-        unit = _reduce_score((state[0], state[1]), valid, mt, nq)
+        unit = _reduce_score(state[:B], valid, mt, nq, g)
         return _from_unit(cfg, mt + nq, unit)
 
     return fn

@@ -51,7 +51,7 @@ def _next_pow2(x: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
+def _col_scores_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
     """Jitted ``(query_pads, text_pads, mts) -> H(:, mt)`` pair for one
     shape bucket, vmapped over a leading batch axis (the bisection's forward
     and reverse fills ride one dispatch).
@@ -71,6 +71,8 @@ def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
     slice_cap = bitpal.TEXT_SMEM_CAP // 2
     t_steps = _round_up(min(t_cap + 2 * nw_cap, slice_cap), max(unroll, 16))
     n_chunks = -(-(t_cap + 2 * nw_cap) // t_steps)
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    u_words = -(-t_steps // (32 // B))
 
     def fn(query_pad: jax.Array, text_pad: jax.Array, mt: jax.Array):
         eq = bitpal._eq_planes(query_pad, nq_cap, nw_cap, rows)
@@ -81,7 +83,7 @@ def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
             tfull.reshape(n_chunks, t_steps // 8, 8) << shifts8[None, None, :],
             axis=2, dtype=jnp.int32,
         )
-        ustream = jnp.zeros((t_steps // 16,), jnp.int32)
+        ustream = jnp.zeros((u_words,), jnp.int32)
 
         def chunk(state, x):
             q, tchunk = x
@@ -96,25 +98,26 @@ def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
                 r_star=None,
                 unroll=unroll,
                 interpret=interpret,
+                g=g,
             )
             return new_state, None
 
         state, _ = jax.lax.scan(
             chunk,
-            bitpal.init_chunk_state(rows),
+            bitpal.init_chunk_state(rows, g),
             (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
         )
-        b0, b1 = state[0], state[1]
 
         def bits(plane):
             words = plane.T.reshape(-1)[:nw_cap]  # column-major word order
             return (words[:, None] >> jnp.arange(WORD, dtype=jnp.int32)) & 1
 
-        # per-row delta = enc - 1 = b0 + 2*b1 - 1
-        v = (bits(b0) + 2 * bits(b1) - 1).reshape(nq_cap)
+        # per-row delta = enc - g
+        v = sum((1 << b) * bits(state[b]) for b in range(B)) - g
+        v = v.reshape(nq_cap)
         return jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(v, dtype=jnp.int32)]
-        ) - mt.astype(jnp.int32)
+        ) - g * mt.astype(jnp.int32)
 
     @jax.jit
     def pair(query_pads, text_pads, mts):
@@ -128,10 +131,10 @@ def _col_scores_call(nw_cap: int, t_cap: int, interpret: bool):
 
 
 def _col_scores_pair(
-    texts, queries, nw_cap: int, t_cap: int, interpret: bool
+    texts, queries, nw_cap: int, t_cap: int, g: int, interpret: bool
 ):
-    """Batched ``H(i, len(text))`` columns, one per (text, query) pair,
-    unit scoring; all pairs share the root-sized shape bucket."""
+    """Batched ``H(i, len(text))`` columns under ``(1, 0, -g)``, one per
+    (text, query) pair; all pairs share the root-sized shape bucket."""
     import jax.numpy as jnp
 
     b = len(texts)
@@ -142,7 +145,7 @@ def _col_scores_pair(
         qpad[i, : len(q)] = q
         tpad[i, : len(t)] = t
         mts[i] = len(t)
-    fn = _col_scores_call(nw_cap, t_cap, interpret)
+    fn = _col_scores_call(nw_cap, t_cap, g, interpret)
     out = np.asarray(fn(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(mts)))
     return [out[i, : len(q) + 1] for i, q in enumerate(queries)]
 
@@ -159,11 +162,13 @@ def align(
     engine.  ``s1`` = text (columns), ``s2`` = query (rows), matching
     :func:`tpualign.api.align`."""
     fam = bitpal.family(cfg)
-    if fam is None or fam[1] != 1:
+    if fam is None:
         raise ValueError(
-            "hirschberg alignment requires the g=1 (unit-equivalent) "
-            "family; use the checkpointed traceback otherwise"
+            "hirschberg alignment requires a bit-parallel scoring family "
+            "(affinely reducible to (1,0,-g)); use the checkpointed "
+            "traceback otherwise"
         )
+    g = fam[1]
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
     nw_cap = _next_pow2(max(1, -(-len(s2) // WORD)))
@@ -194,7 +199,7 @@ def align(
         F, R = _col_scores_pair(
             [text[:mid], text[mid:][::-1]],
             [query, query[::-1]],
-            nw_cap, t_cap, interpret,
+            nw_cap, t_cap, g, interpret,
         )
         split = int(np.argmax(F + R[::-1]))
         rec(text[:mid], query[:split])

@@ -61,19 +61,24 @@ def _geometry(nq: int, mt: int, P: int, chunk_cols: int, unroll: int):
     return nw, nw_local, rows, delta, t_steps, n_chunks
 
 
-def _pack2(vals: jax.Array) -> jax.Array:
-    """(T,) 2-bit values -> (T//16,) int32 for SMEM scalar reads."""
+def _pack_bits(vals: jax.Array, B: int) -> jax.Array:
+    """(T,) B-bit values -> (ceil(T / (32//B)),) int32 for SMEM reads."""
+    epw = 32 // B
     t = vals.shape[0]
-    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    words = -(-t // epw)
+    vpad = jnp.zeros((words * epw,), jnp.int32)
+    vpad = jax.lax.dynamic_update_slice(
+        vpad, vals.astype(jnp.int32) & ((1 << B) - 1), (0,)
+    )
+    shifts = jnp.arange(epw, dtype=jnp.int32) * B
     return jnp.sum(
-        (vals & 3).reshape(t // 16, 16) << shifts[None, :],
-        axis=1,
-        dtype=jnp.int32,
+        vpad.reshape(words, epw) << shifts[None, :], axis=1, dtype=jnp.int32
     )
 
 
 def _pipeline_body(
     cfg: ScoringConfig,
+    g: int,
     nq: int,
     mt: int,
     nw: int,
@@ -91,6 +96,7 @@ def _pipeline_body(
     eq_planes = eq_local[0]
     r_star = (nw_local - 1) % rows
     l_star = (nw_local - 1) // rows
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
 
     def superstep(carry, s):
         state, prev1, prev2 = carry
@@ -105,7 +111,7 @@ def _pipeline_body(
         # DP boundary row (h = gap -> u = 0); others splice the neighbor's
         # chunk-q / chunk-q+1 boundary windows (offset by the band stagger)
         spliced = jnp.concatenate([prev2[delta:], prev1[:delta]])
-        packed = _pack2(spliced)
+        packed = _pack_bits(spliced, B)
         ustream = jnp.where(c == 0, jnp.zeros_like(packed), packed)
         new_state, tail = bitpal.chunk_call(
             d0_mt.astype(jnp.int32),
@@ -117,26 +123,26 @@ def _pipeline_body(
             t_steps=t_steps,
             r_star=r_star,
             interpret=interpret,
+            g=g,
         )
         state = tuple(
             jnp.where(active, ns, os) for ns, os in zip(new_state, state)
         )
         # my last real word's h_out stream for this chunk, to my right neighbor
-        out_vals = tail[:, l_star] & 3
+        out_vals = tail[:, l_star] & ((1 << B) - 1)
         perm = [(i, i + 1) for i in range(P - 1)]
         received = jax.lax.ppermute(out_vals, AXIS, perm)
         return (state, received, prev1), None
 
-    init_state = bitpal.init_chunk_state(rows)
+    init_state = bitpal.init_chunk_state(rows, g)
     zeros_t = jnp.zeros(t_steps, jnp.int32)
     steps = jnp.arange(n_chunks + 2 * (P - 1), dtype=jnp.int32)
     (state, _, _), _ = jax.lax.scan(
         superstep, (init_state, zeros_t, zeros_t), steps
     )
 
-    # score = gap * mt + sum over valid query rows of the final-column
-    # deltas; per row the delta is enc - 1 = b0 + 2*b1 - 1
-    b0, b1 = state[0], state[1]
+    # score = -g * mt + sum over valid query rows of the final-column
+    # deltas; per row the delta is enc - g
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     lword = row_i + rows * lane_i  # local word index in this chip's band
@@ -150,8 +156,9 @@ def _pipeline_body(
         nbits >= WORD, jnp.int32(MASK31), (jnp.int32(1) << nbits) - 1
     )
     pc = lambda x: jnp.sum(jax.lax.population_count(x & valid))  # noqa: E731
-    part = pc(b0) + 2 * pc(b1) - jnp.sum(jax.lax.population_count(valid))
-    return (jax.lax.psum(part, AXIS) - mt)[None]
+    enc = sum((1 << b) * pc(state[b]) for b in range(B))
+    part = enc - g * jnp.sum(jax.lax.population_count(valid))
+    return (jax.lax.psum(part, AXIS) - g * mt)[None]
 
 
 def score_fn(
@@ -166,11 +173,12 @@ def score_fn(
     """Jittable sharded ``(s1, s2) -> score``; ``s1`` = text (columns),
     ``s2`` = query (rows, sharded as 31-row words over the mesh)."""
     fam = bitpal.family(cfg)
-    if fam is None or fam[1] != 1:
+    if fam is None:
         raise ValueError(
-            "bitpal_strips requires the g=1 (unit-equivalent) family; "
-            "use parallel.strips for general configurations"
+            "bitpal_strips requires a bit-parallel scoring family "
+            "(affinely reducible to (1,0,-g)); use parallel.strips otherwise"
         )
+    g = fam[1]
     if mesh is None:
         mesh = make_mesh()
     P = int(mesh.devices.size)
@@ -179,7 +187,7 @@ def score_fn(
         n, m, P, chunk_cols, unroll
     )
     body = functools.partial(
-        _pipeline_body, cfg, n, m, nw, nw_local, rows, delta,
+        _pipeline_body, cfg, g, n, m, nw, nw_local, rows, delta,
         t_steps, n_chunks, interpret,
     )
     Spec = jax.sharding.PartitionSpec
