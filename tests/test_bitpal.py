@@ -132,8 +132,8 @@ def test_api_batch_dispatch(rng):
         want.append(oracle.score(s1, s2, UNIT))
     got = tpualign.align_score_batch(texts, queries)
     assert got.tolist() == want
-    # non-batchable configs (g != 1) take the per-pair fallback
-    cfg = ScoringConfig(gap=-2)
+    # non-family configs take the per-pair fallback
+    cfg = ScoringConfig(match=2, mismatch=1, gap=-2)
     got2 = tpualign.align_score_batch(texts, queries, cfg)
     assert got2.tolist() == [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
 
@@ -199,3 +199,17 @@ def test_chunked_text_generalized_gap(rng):
         fn = bitpal.score_fn(m, n, cfg, interpret=True, text_cap=64)
         got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
         assert got == oracle.score(s1, s2, cfg), (m, n)
+
+
+def test_score_batch_generalized_gap(rng):
+    cfg = ScoringConfig(gap=-2)
+    texts, queries, want = [], [], []
+    for i in range(4):
+        m = int(rng.integers(1, 150))
+        n = int(rng.integers(1, 120))
+        s1, s2 = random_pair(m, n, seed=3000 + i)
+        texts.append(s1)
+        queries.append(s2)
+        want.append(oracle.score(s1, s2, cfg))
+    got = bitpal.score_batch(texts, queries, cfg, interpret=True)
+    assert got.tolist() == want

@@ -146,14 +146,13 @@ def align_score_batch(
 
     All pairs share a padded shape bucket; through a high-latency host link
     this amortizes the per-dispatch round trip across the whole batch.
-    Requires the bit-parallel scoring family ``(k, 0, -k)`` on the fast
-    path; other configurations fall back to a per-pair loop.
+    Bit-parallel scoring families (affinely reducible to ``(1, 0, -g)``)
+    take the fast path; other configurations fall back to a per-pair loop.
     """
     from .ops import bitpal
 
     if (
-        bitpal.supported_scale(scoring) is not None
-        and not scoring.is_local
+        bitpal.family(scoring) is not None
         and resolve_impl(engine, scoring) in ("bitpal", "xla")
     ):
         try:

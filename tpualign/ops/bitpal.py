@@ -578,23 +578,15 @@ def _rc_kernel_body(
 
 
 def _batch_kernel_body(
+    g: int,
     batch: int,
     rows: int,
     total: int,
     unroll: int,
-    # inputs
-    mts_ref,  # SMEM (batch,): true text length per pair
-    text_ref,  # SMEM ((total+2) * ceil(batch/8),) flat column-major chars:
-    #            row d packs every pair's column-(d+1) char, 8 per int32
-    eq_ref,  # (ALPHABET, batch*rows, LANES) per-pair match planes stacked
-    # outputs
-    b0_out,
-    b1_out,
-    # scratch
-    cta_ref,
-    ctb_ref,
-    penda_ref,  # (batch*rows, LANES) next row-0 values (val + rolled tail)
-    pendb_ref,  # same, odd steps
+    # refs: mts SMEM (batch,), text SMEM flat column-major (8 chars/int32),
+    # eq (ALPHABET, batch*rows, LANES), B delta-plane outputs, then scratch
+    # cta, ctb, penda, pendb (all (batch*rows, LANES))
+    *refs,
 ):
     """Batched single-chip fill: ``batch`` same-bucket pairs interleaved.
 
@@ -605,6 +597,10 @@ def _batch_kernel_body(
     and rolled tail, so B small problems amortize the per-step cost that
     makes them latency-bound when run alone (a serving workload: one
     dispatch scores the whole batch)."""
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    mts_ref, text_ref, eq_ref = refs[:3]
+    v_out = refs[3 : 3 + B]
+    cta_ref, ctb_ref, penda_ref, pendb_ref = refs[3 + B : 7 + B]
     brows = batch * rows
     row_i = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (brows, LANES), 1)
@@ -623,8 +619,8 @@ def _batch_kernel_body(
             (words[b >> 3] >> ((b & 7) << 2)) & 15 for b in range(batch)
         ]
 
-    b0_out[:] = jnp.zeros((brows, LANES), jnp.int32)
-    b1_out[:] = jnp.zeros((brows, LANES), jnp.int32)
+    for r in v_out:
+        r[:] = jnp.zeros((brows, LANES), jnp.int32)
     cta_ref[:] = jnp.zeros((brows, LANES), jnp.int32)
     ctb_ref[:] = jnp.zeros((brows, LANES), jnp.int32)
     # pend buffers hold each pair's NEXT row-0 (text char at lane 0 embedded
@@ -636,8 +632,8 @@ def _batch_kernel_body(
     c2 = chars_at(jnp.int32(1))
     for b in range(batch):
         at0 = (row_i == b * rows) & (lane_row == 0)
-        seed_a = jnp.where(at0, c1[b] << 2, seed_a)
-        seed_b = jnp.where(at0, c2[b] << 2, seed_b)
+        seed_a = jnp.where(at0, c1[b] << B, seed_a)
+        seed_b = jnp.where(at0, c2[b] << B, seed_b)
     penda_ref[:] = seed_a
     pendb_ref[:] = seed_b
     # per-pair text bound as a plane, for the freeze mask
@@ -649,19 +645,27 @@ def _batch_kernel_body(
         ct_ref = cta_ref if u % 2 == 0 else ctb_ref
         pend = penda_ref if u % 2 == 0 else pendb_ref
         cts = jnp.where(is_row0, pend[:], pltpu.roll(ct_ref[:], 1, axis=0))
-        win = cts >> 2
+        win = cts >> B
         E = jnp.where(
             win <= 2,
             jnp.where(win == 1, eq[0], eq[1]),
             jnp.where(win == 3, eq[2], eq[3]),
         )
-        u0 = cts & 1
-        u1 = (cts >> 1) & 1
-        b0n, b1n, tp = _plane_step(E, b0_out[:], b1_out[:], u0, u1)
+        ubits = [(cts >> b) & 1 for b in range(B)]
+        if g == 1:
+            b0n, b1n, tp = _plane_step(
+                E, v_out[0][:], v_out[1][:], ubits[0], ubits[1]
+            )
+            Vn = [b0n, b1n]
+        else:
+            Vn, U = _g_plane_step(g, E, [r[:] for r in v_out], ubits)
+            tp = (U[0] >> (WORD - 1)) & 1
+            for b in range(1, B):
+                tp = tp | ((U[b] >> (WORD - 1 - b)) & (1 << b))
         upd = (offs <= d - 1) & (offs >= d - mtp)
-        b0_out[:] = jnp.where(upd, b0n, b0_out[:])
-        b1_out[:] = jnp.where(upd, b1n, b1_out[:])
-        ctn = tp | (cts & ~jnp.int32(3))
+        for r, vn in zip(v_out, Vn):
+            r[:] = jnp.where(upd, vn, r[:])
+        ctn = tp | (cts & ~jnp.int32((1 << B) - 1))
         ct_ref[:] = ctn
         # one full lane roll (latency hidden by the 2-step slack) feeds every
         # pair's next-lane hand-off; each pair's row 0 for step d+2 is staged
@@ -672,7 +676,7 @@ def _batch_kernel_body(
             tail = b * rows + rows - 1
             r0 = b * rows
             pend[r0 : r0 + 1, :] = jnp.where(
-                lane_row == 0, nxt[b] << 2, rolled[tail : tail + 1, :],
+                lane_row == 0, nxt[b] << B, rolled[tail : tail + 1, :],
             )
 
     def body(tt, _):
@@ -697,10 +701,12 @@ def score_batch_fn(
     lengths passed as data.  One dispatch fills every pair; see
     ``_batch_kernel_body``."""
     fam = family(cfg)
-    if fam is None or fam[1] != 1:
+    if fam is None:
         raise ValueError(
-            "batched scoring requires the g=1 (unit-equivalent) family"
+            "batched scoring requires a bit-parallel scoring family"
         )
+    g = fam[1]
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
     unroll = UNROLL_INTERPRET if interpret else UNROLL
     nw = -(-n_cap // WORD)
     rows = _round_up(nw, GRAIN) // LANES
@@ -713,7 +719,7 @@ def score_batch_fn(
             "targets many small pairs — use score()/score_fn for large ones"
         )
     kernel = functools.partial(
-        _batch_kernel_body, batch, rows, total, unroll
+        _batch_kernel_body, g, batch, rows, total, unroll
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -721,10 +727,10 @@ def score_batch_fn(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((batch * rows, LANES), jnp.int32)
-            for _ in range(2)
+            for _ in range(B)
         ),
         in_specs=[smem, smem, vmem],
-        out_specs=(vmem, vmem),
+        out_specs=tuple([vmem] * B),
         scratch_shapes=[
             pltpu.VMEM((batch * rows, LANES), jnp.int32),
             pltpu.VMEM((batch * rows, LANES), jnp.int32),
@@ -770,7 +776,7 @@ def score_batch_fn(
             axis=2, dtype=jnp.int32,
         ).reshape(-1)
 
-        b0, b1 = call(mts.astype(jnp.int32), tpacked, eq_planes)
+        planes = call(mts.astype(jnp.int32), tpacked, eq_planes)
         # per-pair valid mask from true query length
         word_idx = (
             jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1) * rows
@@ -783,11 +789,11 @@ def score_batch_fn(
             nbits >= WORD, jnp.int32(MASK31), (jnp.int32(1) << nbits) - 1
         )
         pc = lambda x: jnp.sum(  # noqa: E731
-            jax.lax.population_count(x), axis=(1, 2)
+            jax.lax.population_count(x.reshape(batch, rows, LANES) & valid),
+            axis=(1, 2),
         )
-        b0v = b0.reshape(batch, rows, LANES) & valid
-        b1v = b1.reshape(batch, rows, LANES) & valid
-        unit = pc(b0v) + 2 * pc(b1v) - mts - nqs
+        enc = sum((1 << b) * pc(planes[b]) for b in range(B))
+        unit = enc - g * (mts + nqs)
         return _from_unit(cfg, mts + nqs, unit)
 
     return fn
