@@ -1163,6 +1163,10 @@ def score_fn(
         raise ValueError(
             "bitpal engine requires unit-equivalent global scoring"
         )
+    # the affine score map runs in int32 on device: keep headroom
+    mult = cfg.match - cfg.mismatch
+    if (abs(cfg.mismatch) + 2 * mult) * (m + n) >= 2**31:
+        raise ValueError("scoring magnitudes too large for int32 headroom")
     if m == 0 or n == 0:
         return lambda s1, s2: jnp.int32(cfg.gap * (m + n))
     s1_is_query = _orientation(m, n)
