@@ -60,15 +60,18 @@ produced, off the loop-carried dependency chain (ping-pong double buffers
 carry them across the gap).  Price: ``2 * nw`` ramp steps instead of ``nw``
 (~3% at corpus sizes).
 
-Cost: ~85 cheap vector ops advance ``31 * nw`` cells (nw = word count), i.e.
-~2.7 lane-ops per cell — an order of magnitude under the per-cell wavefront.
-Score is recovered from the final column's vertical deltas:
-``H(n, m) = m * gap + sum_i v(i, m)`` via ``population_count`` outside the
-kernel.
+Cost: ~60 cheap vector ops advance ``31 * nw`` cells (nw = word count),
+~0.45 lane-ops per cell — and the kernel runs at its VPU issue bound for
+that op count (results/roofline.md).  Score is recovered from the final
+column's vertical deltas: ``H(n, m) = m * gap + sum_i v(i, m)`` via
+``population_count`` outside the kernel.
 
-Scope: global alignment (NW) with scoring ``(k, 0, -k)`` — the reference's
-scheme is ``k = 1``; the score scales exactly by ``k``.  Other configurations
-dispatch to the general wavefront kernel (``api.resolve_impl``).
+Scope: global alignment with any scoring affinely reducible to
+``(1, 0, -g)`` for integer ``g <= MAX_G`` (:func:`family`): g = 1 runs the
+hand-tuned two-plane step below; g >= 2 runs the generic B-bit plane
+algebra (:func:`_g_plane_step`).  Other configurations (including
+Smith-Waterman) dispatch to the general wavefront kernel
+(``api.resolve_impl``).
 """
 
 from __future__ import annotations
