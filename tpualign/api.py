@@ -30,9 +30,10 @@ def resolve_impl(
 ) -> str:
     """Resolve ``impl='auto'`` to a concrete engine for this process.
 
-    On TPU, scoring schemes in the bit-parallel family ``(k, 0, -k)`` — which
-    includes the reference's compiled-in constants — get the 31-cells-per-word
-    engine; everything else gets the general wavefront kernel.
+    On TPU, global scoring schemes affinely reducible to ``(1, 0, -g)``
+    (integer g <= 7 — includes the reference's compiled-in constants) get the
+    31-cells-per-word bit-parallel engine; everything else, including
+    Smith-Waterman, gets the general wavefront kernel.
     """
     if engine.impl != "auto":
         return engine.impl
