@@ -5,10 +5,11 @@ The fast successor of the reference's distributed decomposition
 rows pipelined rank-to-rank in ``COMMBUF_SIZE`` chunks).  Here chip ``c`` owns
 a contiguous band of the query's 31-row words, holds its band's bit-parallel
 state (``ops/bitpal.py``) resident in VMEM for the whole run, and the only
-inter-chip traffic is the stream of **2-bit horizontal deltas** crossing the
-band boundary — 1/16th of an int32 per DP column, against the reference's one
-int32 per column (``mpi-horz.cpp:41``): the delta compression that makes the
-kernel fast also makes the halo 16x smaller.
+inter-chip traffic is the stream of **B-bit horizontal deltas** (B = 2 for
+the unit family, up to 4 for reduced gap weights g <= 7) crossing the band
+boundary — 2-4 bits per DP column, against the reference's one int32 per
+column (``mpi-horz.cpp:41``): the delta compression that makes the kernel
+fast also makes the halo 8-16x smaller.
 
 Pipeline: the text is cut into K chunks of T columns.  At global super-step
 ``s``, chip ``c`` runs chunk ``q = s - 2c`` of its band through the resumable
@@ -22,8 +23,8 @@ outputs, both already in hand.  Pipeline bubble: ``2(P-1) / (K + 2(P-1))``.
 ``chunk_cols`` (T) succeeds the reference's ``COMMBUF_SIZE`` knob
 (``nw-mpi.hpp:18``, swept by ``src/buf-tune.sh``).
 
-Scope: global NW with scoring family ``(k, 0, -k)`` (see
-``bitpal.supported_scale``); general scoring and Smith-Waterman shard via
+Scope: global NW with any scoring affinely reducible to ``(1, 0, -g)``
+(see ``bitpal.family``); other scoring and Smith-Waterman shard via
 ``parallel/strips.py``.
 """
 
