@@ -51,14 +51,17 @@ def _next_pow2(x: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _col_scores_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
-    """Jitted ``(query_pads, text_pads, mts) -> H(:, mt)`` pair for one
-    shape bucket, vmapped over a leading batch axis (the bisection's forward
-    and reverse fills ride one dispatch).
+def _split_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
+    """Jitted bisection-node solver for one root-sized shape bucket:
+    ``(q, rq, t, rt, qa, qb, ta, mid, tb) -> argmax_i F(i) + R(i)``.
 
-    ``query_pad`` rows are ``(nw_cap * 31,)`` (pad rows = char 0 never match
-    and sit after every real row, so the H prefix is exact); text rows are
-    ``(t_cap,)`` with the true length ``mt`` dynamic.
+    The root query/text (and their reversals) stay device-resident; each
+    node passes only integer offsets, runs the forward fill over
+    ``text[ta:mid]`` and the reverse fill over ``rev(text[mid:tb])`` against
+    ``query[qa:qb]`` / its reversal (dynamic slices, padded into the bucket,
+    pad rows masked to char 0), and reduces both final-column delta sets to
+    the crossing row on device — one scalar comes back per node, so host
+    link traffic is O(1) regardless of problem size.
     """
     import jax
     import jax.numpy as jnp
@@ -66,29 +69,35 @@ def _col_scores_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
     unroll = UNROLL_INTERPRET if interpret else UNROLL
     rows = _round_up(nw_cap, bitpal.GRAIN) // LANES
     nq_cap = nw_cap * WORD
-    # texts beyond the SMEM budget scan the chunk kernel over slices (state
-    # carried on-device), exactly like bitpal._score_chunked_fn
     slice_cap = bitpal.TEXT_SMEM_CAP // 2
     t_steps = _round_up(min(t_cap + 2 * nw_cap, slice_cap), max(unroll, 16))
     n_chunks = -(-(t_cap + 2 * nw_cap) // t_steps)
     B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
     u_words = -(-t_steps // (32 // B))
 
-    def fn(query_pad: jax.Array, text_pad: jax.Array, mt: jax.Array):
-        eq = bitpal._eq_planes(query_pad, nq_cap, nw_cap, rows)
-        tfull = jnp.zeros((n_chunks * t_steps,), jnp.int32)
-        tfull = jax.lax.dynamic_update_slice(tfull, text_pad, (0,))
+    def col_scores(query_slice, text_slice, q_len, t_len):
+        qiota = jnp.arange(nq_cap, dtype=jnp.int32)
+        qpad = jnp.where(qiota < q_len, query_slice, 0)
+        tiota = jnp.arange(n_chunks * t_steps, dtype=jnp.int32)
+        tpad = jnp.where(
+            tiota < t_len,
+            jax.lax.dynamic_update_slice(
+                jnp.zeros((n_chunks * t_steps,), jnp.int32), text_slice, (0,)
+            ),
+            0,
+        )
+        eq = bitpal._eq_planes(qpad, nq_cap, nw_cap, rows)
         shifts8 = jnp.arange(8, dtype=jnp.int32) * 4
         tpacked = jnp.sum(
-            tfull.reshape(n_chunks, t_steps // 8, 8) << shifts8[None, None, :],
+            tpad.reshape(n_chunks, t_steps // 8, 8) << shifts8[None, None, :],
             axis=2, dtype=jnp.int32,
         )
         ustream = jnp.zeros((u_words,), jnp.int32)
 
         def chunk(state, x):
-            q, tchunk = x
+            q_, tchunk = x
             new_state, _ = bitpal.chunk_call(
-                jnp.stack([q * t_steps, mt.astype(jnp.int32)]),
+                jnp.stack([q_ * t_steps, t_len.astype(jnp.int32)]),
                 tchunk,
                 ustream,
                 eq,
@@ -112,44 +121,46 @@ def _col_scores_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
             words = plane.T.reshape(-1)[:nw_cap]  # column-major word order
             return (words[:, None] >> jnp.arange(WORD, dtype=jnp.int32)) & 1
 
-        # per-row delta = enc - g
         v = sum((1 << b) * bits(state[b]) for b in range(B)) - g
         v = v.reshape(nq_cap)
         return jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(v, dtype=jnp.int32)]
-        ) - g * mt.astype(jnp.int32)
+        ) - g * t_len.astype(jnp.int32)
 
     @jax.jit
-    def pair(query_pads, text_pads, mts):
-        # static batch of 2 (forward + reverse) in one dispatch; vmap would
-        # batch the kernel's SMEM operands into shapes Mosaic rejects
-        return jnp.stack(
-            [fn(query_pads[i], text_pads[i], mts[i]) for i in range(2)]
+    def node(q, rq, t, rt, qa, qb, ta, mid, tb):
+        nroot = q.shape[0]
+        mroot = t.shape[0]
+        q_len = qb - qa
+        qs = jax.lax.dynamic_slice(
+            jnp.pad(q, (0, nq_cap)), (qa,), (nq_cap,)
         )
+        rqs = jax.lax.dynamic_slice(
+            jnp.pad(rq, (0, nq_cap)), (nroot - qb,), (nq_cap,)
+        )
+        tcap_arr = n_chunks * t_steps
+        ts = jax.lax.dynamic_slice(
+            jnp.pad(t, (0, tcap_arr)), (ta,), (tcap_arr,)
+        )
+        rts = jax.lax.dynamic_slice(
+            jnp.pad(rt, (0, tcap_arr)), (mroot - tb,), (tcap_arr,)
+        )
+        F = col_scores(qs, ts, q_len, mid - ta)
+        R = col_scores(rqs, rts, q_len, tb - mid)
+        # the crossing row maximizes F(i) + R(q_len - i), where R was
+        # computed over the reversed suffix pair; flip+roll aligns the
+        # reversed column so index i reads R[q_len - i] (no wrap for
+        # 0 <= i <= q_len)
+        i = jnp.arange(nq_cap + 1, dtype=jnp.int32)
+        Rr = jnp.roll(jnp.flip(R), q_len - nq_cap)
+        tot = jnp.where(i <= q_len, F + Rr, -(2**30))
+        return jnp.argmax(tot).astype(jnp.int32)
 
-    return pair
+    return node
 
 
-def _col_scores_pair(
-    texts, queries, nw_cap: int, t_cap: int, g: int, interpret: bool
-):
-    """Batched ``H(i, len(text))`` columns under ``(1, 0, -g)``, one per
-    (text, query) pair; all pairs share the root-sized shape bucket."""
-    import jax.numpy as jnp
-
-    b = len(texts)
-    qpad = np.zeros((b, nw_cap * WORD), np.int32)
-    tpad = np.zeros((b, t_cap), np.int32)
-    mts = np.zeros((b,), np.int32)
-    for i, (t, q) in enumerate(zip(texts, queries)):
-        qpad[i, : len(q)] = q
-        tpad[i, : len(t)] = t
-        mts[i] = len(t)
-    fn = _col_scores_call(nw_cap, t_cap, g, interpret)
-    out = np.asarray(fn(jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(mts)))
-    return [out[i, : len(q) + 1] for i, q in enumerate(queries)]
-
-
+def _next_bucket(x: int) -> int:
+    return _next_pow2(max(16, x))
 def align(
     s1,
     s2,
@@ -169,10 +180,19 @@ def align(
             "traceback otherwise"
         )
     g = fam[1]
+    import jax.numpy as jnp
+
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
     nw_cap = _next_pow2(max(1, -(-len(s2) // WORD)))
     t_cap = _next_pow2(max(16, (len(s1) + 1) // 2))
+    node = _split_call(nw_cap, t_cap, g, interpret)
+    # root sequences (and reversals) live on device for the whole recursion;
+    # every bisection node ships 5 integers down and 1 integer back
+    q_dev = jnp.asarray(s2, jnp.int32)
+    rq_dev = jnp.flip(q_dev)
+    t_dev = jnp.asarray(s1, jnp.int32)
+    rt_dev = jnp.flip(t_dev)
     parts1: List[str] = []
     parts2: List[str] = []
 
@@ -188,24 +208,23 @@ def align(
                 pass
         return oracle.traceback(text, query, cfg)
 
-    def rec(text: np.ndarray, query: np.ndarray) -> None:
-        m, n = len(text), len(query)
+    def rec(ta: int, tb: int, qa: int, qb: int) -> None:
+        m, n = tb - ta, qb - qa
         if (m + 1) * (n + 1) <= base_cells or m < 2 or n < 2:
-            _, a1, a2 = leaf(text, query)
+            _, a1, a2 = leaf(s1[ta:tb], s2[qa:qb])
             parts1.append(a1)
             parts2.append(a2)
             return
-        mid = m // 2
-        F, R = _col_scores_pair(
-            [text[:mid], text[mid:][::-1]],
-            [query, query[::-1]],
-            nw_cap, t_cap, g, interpret,
+        mid = ta + m // 2
+        split = qa + int(
+            node(q_dev, rq_dev, t_dev, rt_dev,
+                 jnp.int32(qa), jnp.int32(qb), jnp.int32(ta),
+                 jnp.int32(mid), jnp.int32(tb))
         )
-        split = int(np.argmax(F + R[::-1]))
-        rec(text[:mid], query[:split])
-        rec(text[mid:], query[split:])
+        rec(ta, mid, qa, split)
+        rec(mid, tb, split, qb)
 
-    rec(s1, s2)
+    rec(0, len(s1), 0, len(s2))
     a1 = "".join(parts1)
     a2 = "".join(parts2)
     return oracle.alignment_score(a1, a2, cfg), a1, a2
