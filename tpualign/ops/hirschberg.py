@@ -193,14 +193,14 @@ def align(
     rq_dev = jnp.flip(q_dev)
     t_dev = jnp.asarray(s1, jnp.int32)
     rt_dev = jnp.flip(t_dev)
-    parts1: List[str] = []
-    parts2: List[str] = []
+    leaves: List[Tuple[int, int, int, int]] = []  # in path order
 
     from ..utils import native
 
     use_native = native.available()
 
-    def leaf(text, query):
+    def leaf(ta, tb, qa, qb):
+        text, query = s1[ta:tb], s2[qa:qb]
         if use_native:
             try:  # C++ full-table walk: same strings, ~50x the NumPy oracle
                 return native.traceback(text, query, cfg)
@@ -211,9 +211,7 @@ def align(
     def rec(ta: int, tb: int, qa: int, qb: int) -> None:
         m, n = tb - ta, qb - qa
         if (m + 1) * (n + 1) <= base_cells or m < 2 or n < 2:
-            _, a1, a2 = leaf(s1[ta:tb], s2[qa:qb])
-            parts1.append(a1)
-            parts2.append(a2)
+            leaves.append((ta, tb, qa, qb))
             return
         mid = ta + m // 2
         split = qa + int(
@@ -225,6 +223,12 @@ def align(
         rec(mid, tb, split, qb)
 
     rec(0, len(s1), 0, len(s2))
-    a1 = "".join(parts1)
-    a2 = "".join(parts2)
+    # leaf segments are independent; the native walk releases the GIL, so a
+    # thread pool fills host cores while preserving path order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda r: leaf(*r), leaves))
+    a1 = "".join(r[1] for r in results)
+    a2 = "".join(r[2] for r in results)
     return oracle.alignment_score(a1, a2, cfg), a1, a2
