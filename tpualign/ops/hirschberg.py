@@ -208,21 +208,33 @@ def align(
                 pass
         return oracle.traceback(text, query, cfg)
 
-    def rec(ta: int, tb: int, qa: int, qb: int) -> None:
+    # breadth-first with async dispatch: JAX returns node results as
+    # futures, so while the oldest node's scalar crosses the host link the
+    # newer (independent-subtree) nodes are already computing — the
+    # round-trip latency pipelines away.  Leaves tile the text axis, so
+    # sorting by (ta, qa) restores path order.
+    from collections import deque
+
+    pending = deque()
+
+    def submit(ta: int, tb: int, qa: int, qb: int) -> None:
         m, n = tb - ta, qb - qa
         if (m + 1) * (n + 1) <= base_cells or m < 2 or n < 2:
             leaves.append((ta, tb, qa, qb))
             return
-        mid = ta + m // 2
-        split = qa + int(
-            node(q_dev, rq_dev, t_dev, rt_dev,
-                 jnp.int32(qa), jnp.int32(qb), jnp.int32(ta),
-                 jnp.int32(mid), jnp.int32(tb))
-        )
-        rec(ta, mid, qa, split)
-        rec(mid, tb, split, qb)
+        fut = node(q_dev, rq_dev, t_dev, rt_dev,
+                   jnp.int32(qa), jnp.int32(qb), jnp.int32(ta),
+                   jnp.int32(ta + m // 2), jnp.int32(tb))
+        pending.append((ta, tb, qa, qb, fut))
 
-    rec(0, len(s1), 0, len(s2))
+    submit(0, len(s1), 0, len(s2))
+    while pending:
+        ta, tb, qa, qb, fut = pending.popleft()
+        split = qa + int(fut)
+        mid = ta + (tb - ta) // 2
+        submit(ta, mid, qa, split)
+        submit(mid, tb, split, qb)
+    leaves.sort(key=lambda r: (r[0], r[2]))
     # leaf segments are independent; the native walk releases the GIL, so a
     # thread pool fills host cores while preserving path order
     from concurrent.futures import ThreadPoolExecutor
