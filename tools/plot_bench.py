@@ -52,6 +52,8 @@ def main() -> int:
     fig, ax = plt.subplots(figsize=(8, 5))
     for path, lab in zip(args.tsv, labels):
         rows = read_tsv(path)
+        if base:  # keep only sizes present in the baseline series
+            rows = [r for r in rows if r["label"] in base]
         xs = [r["label"] for r in rows]
         ys = [float(r[args.metric]) for r in rows]
         if base:
