@@ -213,3 +213,50 @@ def test_score_batch_generalized_gap(rng):
         want.append(oracle.score(s1, s2, cfg))
     got = bitpal.score_batch(texts, queries, cfg, interpret=True)
     assert got.tolist() == want
+
+
+def test_suspend_resume_checkpoint(rng):
+    """The resumable chunk state IS a checkpoint: a run can stop after any
+    chunk, round-trip its (B+3)-plane state through host memory (or disk),
+    and continue in a fresh computation to a bit-identical score — the
+    fault-tolerance story the reference lacks entirely (SURVEY.md §5)."""
+    import jax.numpy as jnp
+
+    from tpualign.ops.bitpal import (
+        _eq_planes, _layout, _reduce_score, _valid_mask, chunk_call,
+        init_chunk_state,
+    )
+
+    m, n = 500, 300
+    s1, s2 = random_pair(m, n, seed=99)
+    nw, rows, _ = _layout(n, m, 2)
+    eq = _eq_planes(jnp.asarray(s2, jnp.int32), n, nw, rows)
+    t_steps = 64
+    n_chunks = -(-(m + 2 * (nw - 1)) // t_steps)
+    tpad = np.zeros(n_chunks * t_steps, np.int32)
+    tpad[:m] = s1
+    shifts = np.arange(8) * 4
+    tpacked = jnp.asarray(
+        (tpad.reshape(n_chunks, t_steps // 8, 8) << shifts).sum(2), jnp.int32
+    )
+    ustream = jnp.zeros(t_steps // 16, jnp.int32)
+
+    def run(state, lo, hi):
+        for q in range(lo, hi):
+            state, _ = chunk_call(
+                jnp.asarray([q * t_steps, m], jnp.int32), tpacked[q],
+                ustream, eq, state, rows=rows, t_steps=t_steps,
+                r_star=None, unroll=2, interpret=True,
+            )
+        return state
+
+    half = n_chunks // 2
+    state = run(init_chunk_state(rows), 0, half)
+    # suspend: snapshot to host (what a checkpoint write would persist)
+    snapshot = [np.asarray(x) for x in state]
+    # resume from the snapshot in "another process"
+    restored = tuple(jnp.asarray(x) for x in snapshot)
+    state = run(restored, half, n_chunks)
+    valid = jnp.asarray(_valid_mask(n, nw, rows))
+    got = int(_reduce_score(state[:2], valid, m, n))
+    assert got == oracle.score(s1, s2, UNIT)
