@@ -73,8 +73,9 @@ def test_kernel_scaled_scoring():
 def test_kernel_empty_and_unsupported():
     s1, s2 = random_pair(10, 10, seed=0)
     assert bitpal.score(np.empty(0, np.int8), s2, UNIT) == -10
+    # (2, 1, -2) is genuinely outside the (1, 0, -g) family (family() is None)
     with pytest.raises(ValueError):
-        bitpal.score(s1, s2, ScoringConfig(gap=-2))
+        bitpal.score(s1, s2, ScoringConfig(match=2, mismatch=1, gap=-2))
 
 
 def test_kernel_multiword_slots(rng):

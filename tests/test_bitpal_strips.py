@@ -54,8 +54,11 @@ def test_scaled_scoring_and_guard():
     got = bitpal_strips.score(s1, s2, cfg, mesh=mesh, chunk_cols=16,
                               interpret=True)
     assert got == oracle.score(s1, s2, cfg)
+    # (2, 1, -2) is genuinely outside the (1, 0, -g) family (family() is None)
     with pytest.raises(ValueError):
-        bitpal_strips.score(s1, s2, ScoringConfig(gap=-2), mesh=mesh)
+        bitpal_strips.score(
+            s1, s2, ScoringConfig(match=2, mismatch=1, gap=-2), mesh=mesh
+        )
 
 
 def test_matches_single_chip_kernel():

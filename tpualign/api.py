@@ -152,9 +152,13 @@ def align_score_batch(
     """
     from .ops import bitpal
 
-    if (
-        bitpal.family(scoring) is not None
-        and resolve_impl(engine, scoring) in ("bitpal", "xla")
+    resolved = resolve_impl(engine, scoring)
+    # Take the bit-parallel batch kernel only when it is the resolved engine,
+    # or on impl='auto' off-TPU (where the interpreted batch kernel still
+    # beats a per-pair python loop).  An *explicit* impl='xla' request is
+    # honored with the per-pair XLA path (ADVICE r1).
+    if bitpal.family(scoring) is not None and (
+        resolved == "bitpal" or (engine.impl == "auto" and resolved == "xla")
     ):
         try:
             return bitpal.score_batch(

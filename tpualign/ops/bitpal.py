@@ -709,6 +709,11 @@ def score_batch_fn(
             "batched scoring requires a bit-parallel scoring family"
         )
     g = fam[1]
+    # same int32 headroom guard as score_fn: the device-side affine map
+    # computes 2*mult*unit with unit up to ~g*(m+n)
+    mult = cfg.match - cfg.mismatch
+    if (abs(cfg.mismatch) + 2 * mult * g) * (m_cap + n_cap) >= 2**31:
+        raise ValueError("scoring magnitudes too large for int32 headroom")
     B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
     unroll = UNROLL_INTERPRET if interpret else UNROLL
     nw = -(-n_cap // WORD)
@@ -1095,8 +1100,8 @@ def score(
     """NW score via the bit-parallel kernel (scoring family ``(k, 0, -k)``)."""
     if supported_scale(cfg) is None:
         raise ValueError(
-            "bitpal engine requires unit-equivalent global scoring "
-            "(2*gap == 3*mismatch - 2*match); use impl='pallas' or 'xla'"
+            "bitpal engine requires global scoring affinely reducible to "
+            "(1, 0, -g) for integer 1 <= g <= 7; use impl='pallas' or 'xla'"
         )
     s1 = jnp.asarray(s1, jnp.int32)
     s2 = jnp.asarray(s2, jnp.int32)
@@ -1166,9 +1171,12 @@ def score_fn(
         raise ValueError(
             "bitpal engine requires unit-equivalent global scoring"
         )
-    # the affine score map runs in int32 on device: keep headroom
+    # the affine score map runs in int32 on device: keep headroom.  The
+    # reduced unit score reaches ~g*(m+n) for g-family members, so the
+    # 2*mult*unit term scales with g, not 1 (ADVICE r1).
     mult = cfg.match - cfg.mismatch
-    if (abs(cfg.mismatch) + 2 * mult) * (m + n) >= 2**31:
+    gfam = family(cfg)[1]
+    if (abs(cfg.mismatch) + 2 * mult * gfam) * (m + n) >= 2**31:
         raise ValueError("scoring magnitudes too large for int32 headroom")
     if m == 0 or n == 0:
         return lambda s1, s2: jnp.int32(cfg.gap * (m + n))

@@ -100,8 +100,8 @@ def _strip_pipeline_body(
     sel_row = jnp.int32((n_rows - 1) % chunk)
 
     if local:
-        top0 = jax.lax.pvary(jnp.zeros(W + 1, dtype=jnp.int32), AXIS)
-        corner0 = jax.lax.pvary(jnp.int32(0), AXIS)
+        top0 = jax.lax.pcast(jnp.zeros(W + 1, dtype=jnp.int32), AXIS, to='varying')
+        corner0 = jax.lax.pcast(jnp.int32(0), AXIS, to='varying')
     else:
         top0 = jnp.concatenate([col_off[None], own_global_cols]) * g
         corner0 = col_off * g  # H[0][col_off], diag dep of my chunk-0 corner cell
@@ -124,7 +124,7 @@ def _strip_pipeline_body(
         h_top_full = h_top.at[0].set(corner)
         h_last, right_col, tap_col, cbest = _chunk_fill(
             s1_local, s2_chunk, h_top_full, left_col, row_valid,
-            col_valid, sel, jax.lax.pvary(NEG_INF, AXIS), cfg,
+            col_valid, sel, jax.lax.pcast(NEG_INF, AXIS, to='varying'), cfg,
         )
 
         # carries update only while this chip is inside the wavefront;
@@ -150,9 +150,9 @@ def _strip_pipeline_body(
     init = (
         top0,
         corner0,
-        jax.lax.pvary(jnp.zeros(chunk, dtype=jnp.int32), AXIS),
-        jax.lax.pvary(NEG_INF, AXIS),
-        jax.lax.pvary(NEG_INF, AXIS),
+        jax.lax.pcast(jnp.zeros(chunk, dtype=jnp.int32), AXIS, to='varying'),
+        jax.lax.pcast(NEG_INF, AXIS, to='varying'),
+        jax.lax.pcast(NEG_INF, AXIS, to='varying'),
     )
     steps = jnp.arange(n_chunks + P - 1, dtype=jnp.int32)
     (h_top, _, _, best, score), _ = jax.lax.scan(superstep, init, steps)
