@@ -10,7 +10,7 @@ import pytest
 
 from tpualign.config import AlignMode, ScoringConfig
 from tpualign.io.bdna import random_pair
-from tpualign.ops import bitpal, oracle, pallas_diag, xla
+from tpualign.ops import band, bitpal, oracle, pallas_diag, xla
 from tpualign.parallel import bitpal_strips, strips
 from tpualign.parallel.mesh import make_mesh
 
@@ -38,6 +38,7 @@ def test_cross_engine_fuzz(rng):
             got["pallas"] = pallas_diag.score(s1, s2, cfg, interpret=True)
         except ValueError:
             pass  # outside the natural-boundary envelope (gap > 0 etc.)
+        got["band"] = band.score(s1, s2, cfg, rows=8, interpret=True)
         got["strips"] = strips.score(s1, s2, cfg, mesh=mesh, chunk_rows=64)
         if bitpal.supported_scale(cfg) is not None:
             got["bitpal"] = bitpal.score(s1, s2, cfg, interpret=True)

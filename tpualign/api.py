@@ -33,7 +33,8 @@ def resolve_impl(
     On TPU, global scoring schemes affinely reducible to ``(1, 0, -g)``
     (integer g <= 7 — includes the reference's compiled-in constants) get the
     31-cells-per-word bit-parallel engine; everything else, including
-    Smith-Waterman, gets the general wavefront kernel.
+    Smith-Waterman, gets the banded strip kernel (``ops/band.py``), which
+    runs the general recurrence at ~2x the flat wavefront's throughput.
     """
     if engine.impl != "auto":
         return engine.impl
@@ -44,7 +45,7 @@ def resolve_impl(
 
         if bitpal.supported_scale(scoring) is not None:
             return "bitpal"
-    return "pallas"
+    return "band"
 
 
 def align_score(
@@ -74,6 +75,13 @@ def align_score(
                 s1, s2, scoring,
                 EngineConfig(impl=impl, interpret=engine.interpret),
             )
+    if impl == "band":
+        from .ops import band
+
+        try:
+            return band.score(s1, s2, scoring, interpret=engine.interpret)
+        except ValueError:  # outside the boundary-row envelope
+            impl = "pallas"
     if impl == "xla":
         from .ops import xla
 
@@ -123,7 +131,9 @@ def align(
             )
         except ValueError:  # outside the bisection's scoring envelope
             pass
-    if impl == "pallas":
+    if impl in ("band", "pallas"):
+        # band is a score-only engine; its alignment rides the checkpointed
+        # diagonal traceback exactly as pallas does
         from .ops import traceback_diag
 
         try:

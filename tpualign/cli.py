@@ -45,7 +45,9 @@ def _add_scoring_args(p: argparse.ArgumentParser) -> None:
 
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--impl", choices=["auto", "bitpal", "pallas", "xla", "oracle"],
+    p.add_argument("--impl",
+                   choices=["auto", "bitpal", "band", "pallas", "xla",
+                            "oracle"],
                    default="auto")
     p.add_argument("--chunk-rows", type=int, default=2048,
                    help="pipelined chunk depth for the sharded engine")
@@ -130,6 +132,10 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
         from .ops import bitpal
 
         fn = jax.jit(bitpal.score_fn(len(s1), len(s2), scoring))
+    elif impl == "band":
+        from .ops import band
+
+        fn = jax.jit(band.score_fn(len(s1), len(s2), scoring))
     elif impl == "pallas":
         from .ops import pallas_diag
 

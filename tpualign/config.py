@@ -72,12 +72,14 @@ class EngineConfig:
     vector shape fixes the tiling (see PARITY.md §2b).
     """
 
-    impl: str = "auto"  # auto | bitpal | pallas | xla | oracle
+    impl: str = "auto"  # auto | bitpal | band | pallas | xla | oracle
     chunk_rows: int = 2048
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
 
     def __post_init__(self) -> None:
-        if self.impl not in ("auto", "bitpal", "pallas", "xla", "oracle"):
+        if self.impl not in (
+            "auto", "bitpal", "band", "pallas", "xla", "oracle"
+        ):
             raise ValueError(f"unknown impl {self.impl!r}")
         if self.chunk_rows <= 0:
             raise ValueError("chunk_rows must be positive")
