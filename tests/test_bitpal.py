@@ -99,6 +99,31 @@ def test_chunked_text_path(rng):
         assert got == oracle.score(s1, s2, UNIT), (m, n)
 
 
+def test_chunked_text_rc_variants(rng):
+    # the resumable R-column chunk kernel vs oracle, rc x scaled-family fuzz
+    # (auto selection already routes small-word-count problems here; this
+    # pins every rc explicitly, incl. the 1-column kernel the sharded
+    # pipeline uses)
+    import jax.numpy as jnp
+    for rc in (1, 2, 3, 4):
+        m = int(rng.integers(150, 400))
+        n = int(rng.integers(5, 200))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        cfg = UNIT if rc % 2 else ScoringConfig(match=2, mismatch=0, gap=-2)
+        fn = bitpal.score_fn(
+            m, n, cfg, interpret=True, text_cap=64, cols_per_step=rc
+        )
+        got = int(fn(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)))
+        assert got == oracle.score(s1, s2, cfg), (rc, m, n)
+
+
+def test_rc_rejects_higher_g():
+    # the R-column pack layout is g=1-only; explicit rc with g>=2 must raise
+    s1, s2 = random_pair(50, 40, seed=0)
+    with pytest.raises(ValueError):
+        bitpal.score_fn(50, 40, ScoringConfig(gap=-2), cols_per_step=2)
+
+
 def test_score_batch(rng):
     texts, queries, want = [], [], []
     for i in range(6):

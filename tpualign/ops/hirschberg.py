@@ -73,7 +73,7 @@ def _split_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
     t_steps = _round_up(min(t_cap + 2 * nw_cap, slice_cap), max(unroll, 16))
     n_chunks = -(-(t_cap + 2 * nw_cap) // t_steps)
     B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
-    u_words = -(-t_steps // (32 // B))
+    u_words = -(-t_steps // bitpal.stream_epw(B))
 
     def col_scores(query_slice, text_slice, q_len, t_len):
         qiota = jnp.arange(nq_cap, dtype=jnp.int32)

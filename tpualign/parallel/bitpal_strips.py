@@ -63,8 +63,8 @@ def _geometry(nq: int, mt: int, P: int, chunk_cols: int, unroll: int):
 
 
 def _pack_bits(vals: jax.Array, B: int) -> jax.Array:
-    """(T,) B-bit values -> (ceil(T / (32//B)),) int32 for SMEM reads."""
-    epw = 32 // B
+    """(T,) B-bit values -> int32 words of stream_epw(B) entries for SMEM."""
+    epw = bitpal.stream_epw(B)
     t = vals.shape[0]
     words = -(-t // epw)
     vpad = jnp.zeros((words * epw,), jnp.int32)
