@@ -1,26 +1,26 @@
 """Golden scores pinned from the compiled C++ reference.
 
 Provenance: ``g++ -O2 -std=c++11 src/serial/serial.cpp helper.cpp`` from
-/root/reference, run on the committed ``bdna/`` pairs (2026-08-16):
-
-    small: 2    debug: 27    t: 17    smid: 5839
-    2gb: 12958  64gb: 73888  (big pairs: not re-run in CI, used by bench.py)
-
-These pin the exact serial-kernel semantics (``serial.cpp:16-31``) as the
-cross-implementation oracle the reference itself used (SURVEY.md §4).
+/root/reference, run on the committed ``bdna/`` pairs (tiny pairs 2026-08-16;
+every benched gb size re-run 2026-08-17 with full in-RAM tables).  The pin
+table lives in :mod:`tpualign.golden` (shared with ``cli.py bench``'s score
+cross-check); this suite asserts the tiny pairs end-to-end and, for the big
+pairs, that the fast engines' *recorded benchmark scores* in ``results/``
+match the pins — the CI-cheap analog of re-running a 64 GB table fill.
 """
 
+import csv
 import os
 
 import pytest
 
+from tpualign.golden import GOLDEN_NW_UNIT
 from tpualign.io.bdna import read_bdna
 from tpualign.ops import oracle, xla
 
-GOLDEN = {"small": 2, "debug": 27, "t": 17, "smid": 5839}
-#: big pairs, verified 2026-08-16 against the compiled reference (not in CI)
-GOLDEN_BIG = {"2gb": 12958, "64gb": 73888}
+GOLDEN = {k: GOLDEN_NW_UNIT[k] for k in ("small", "debug", "t", "smid")}
 CORPUS = "/root/reference/bdna"
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "results")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(CORPUS), reason="reference corpus not mounted"
@@ -33,3 +33,23 @@ def test_golden_nw_scores(name, want):
     s2 = read_bdna(os.path.join(CORPUS, f"{name}2.bdna"))
     assert oracle.score(s1, s2) == want
     assert xla.score(s1, s2) == want
+
+
+@pytest.mark.parametrize(
+    "tsv", ["sizes-nw-v5e1.tsv", "sizes-nw-band-v5e1.tsv"]
+)
+def test_recorded_bench_scores_match_reference_pins(tsv):
+    """Every NW bench row committed under results/ must carry the score the
+    reference binary printed for that pair."""
+    path = os.path.join(RESULTS, tsv)
+    if not os.path.exists(path):
+        pytest.skip(f"{tsv} not present")
+    rows = list(csv.DictReader(open(path), delimiter="\t"))
+    assert rows, "empty results file"
+    checked = 0
+    for row in rows:
+        name = row["label"]
+        if name in GOLDEN_NW_UNIT:
+            assert int(row["score"]) == GOLDEN_NW_UNIT[name], (tsv, name)
+            checked += 1
+    assert checked >= 4

@@ -26,7 +26,9 @@ def _platform() -> str:
 
 
 def resolve_impl(
-    engine: EngineConfig, scoring: Optional[ScoringConfig] = None
+    engine: EngineConfig,
+    scoring: Optional[ScoringConfig] = None,
+    shape: Optional[Tuple[int, int]] = None,
 ) -> str:
     """Resolve ``impl='auto'`` to a concrete engine for this process.
 
@@ -35,17 +37,33 @@ def resolve_impl(
     31-cells-per-word bit-parallel engine; everything else, including
     Smith-Waterman, gets the banded strip kernel (``ops/band.py``), which
     runs the general recurrence at ~2x the flat wavefront's throughput.
+
+    With ``shape = (len(s1), len(s2))`` on a multi-device process, problems
+    whose sharded axis gives every chip a substantial band resolve to the
+    pipelined sharded engines (``parallel/``) — the successor of the
+    reference's mpi drivers being first-class peers of serial
+    (``mpi-vert-driver.cpp``).
     """
     if engine.impl != "auto":
         return engine.impl
     if _platform() != "tpu":
         return "xla"
+    import jax
+
+    fam = None
     if scoring is not None:
         from .ops import bitpal
 
-        if bitpal.supported_scale(scoring) is not None:
-            return "bitpal"
-    return "band"
+        fam = bitpal.supported_scale(scoring)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and shape is not None:
+        m, n = shape
+        # sharded axis: query words (bitpal-strips) / text columns (strips)
+        if fam is not None and min(m, n) >= 4096 * n_dev:
+            return "bitpal-strips"
+        if fam is None and max(m, n) >= 4096 * n_dev:
+            return "strips"
+    return "bitpal" if fam is not None else "band"
 
 
 def align_score(
@@ -59,11 +77,28 @@ def align_score(
     Semantics identical to the reference serial kernel (``serial.cpp:16-31``)
     for global mode; local mode adds the Smith-Waterman zero floor.
     """
-    impl = resolve_impl(engine, scoring)
+    s1 = np.asarray(s1)
+    s2 = np.asarray(s2)
+    impl = resolve_impl(engine, scoring, (int(s1.size), int(s2.size)))
     if impl == "oracle":
         from .ops import oracle
 
         return oracle.score(s1, s2, scoring)
+    if impl == "bitpal-strips":
+        from .parallel import bitpal_strips
+
+        try:
+            return bitpal_strips.score(
+                s1, s2, scoring,
+                chunk_cols=engine.chunk_rows,
+                interpret=engine.interpret or _platform() != "tpu",
+            )
+        except ValueError:  # outside the family/pipeline envelope
+            impl = "strips"
+    if impl == "strips":
+        from .parallel import strips
+
+        return strips.score(s1, s2, scoring, chunk_rows=engine.chunk_rows)
     if impl == "bitpal":
         from .ops import bitpal
 

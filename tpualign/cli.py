@@ -47,7 +47,7 @@ def _add_scoring_args(p: argparse.ArgumentParser) -> None:
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--impl",
                    choices=["auto", "bitpal", "band", "pallas", "xla",
-                            "oracle"],
+                            "oracle", "bitpal-strips", "strips"],
                    default="auto")
     p.add_argument("--chunk-rows", type=int, default=2048,
                    help="pipelined chunk depth for the sharded engine")
@@ -127,8 +127,22 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
     if impl == "auto":
         from .api import resolve_impl
 
-        impl = resolve_impl(EngineConfig(), scoring)
-    if impl == "bitpal":
+        impl = resolve_impl(EngineConfig(), scoring, (len(s1), len(s2)))
+    if impl == "bitpal-strips":
+        from .parallel import bitpal_strips
+
+        fn = bitpal_strips.score_fn(len(s1), len(s2), scoring)
+    elif impl == "strips":
+        from .parallel import strips as strips_mod
+
+        sfn, (m_pad, n_pad) = strips_mod.score_fn(len(s1), len(s2), scoring)
+        p1 = np.zeros(m_pad, np.int32)
+        p1[: len(s1)] = s1
+        p2 = np.zeros(n_pad, np.int32)
+        p2[: len(s2)] = s2
+        s1, s2 = p1, p2
+        fn = jax.jit(sfn)
+    elif impl == "bitpal":
         from .ops import bitpal
 
         fn = jax.jit(bitpal.score_fn(len(s1), len(s2), scoring))
@@ -151,11 +165,42 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
     )
 
 
+def _check_bench_score(name, s1, s2, scoring, score, mode: str):
+    """Score cross-check for a bench row (verdict r1 item #8): ``golden``
+    compares against the reference binary's pinned score when one exists
+    for this pair+config; ``native`` recomputes with the independent C++
+    scorer (any config, O(NM) — minutes at corpus sizes).  Returns an error
+    string, or None if the row is valid."""
+    if mode == "off":
+        return None
+    from .config import ScoringConfig
+
+    if mode == "golden":
+        from .golden import GOLDEN_NW_UNIT
+
+        if scoring != ScoringConfig() or name not in GOLDEN_NW_UNIT:
+            return None  # no pin applies; row passes unchecked
+        want = GOLDEN_NW_UNIT[name]
+    else:  # native
+        from .utils import native
+
+        if not native.available():
+            return None
+        want = native.score(s1, s2, scoring)
+    if score != want:
+        return (
+            f"{name}: score {score} != {'pinned' if mode == 'golden' else 'native'}"
+            f" {want} — row withheld"
+        )
+    return None
+
+
 def cmd_bench(args) -> int:
     from .bench.harness import write_json, write_tsv
     from .io.bdna import read_bdna
 
     results = []
+    bad = 0
     for name in args.pairs.split(","):
         p1 = os.path.join(args.corpus, f"{name}-1.bdna")
         p2 = os.path.join(args.corpus, f"{name}-2.bdna")
@@ -164,6 +209,12 @@ def cmd_bench(args) -> int:
             p2 = os.path.join(args.corpus, f"{name}2.bdna")
         s1, s2 = read_bdna(p1), read_bdna(p2)
         r = _bench_one(name, s1, s2, _scoring(args), args.impl, args.runs)
+        err = _check_bench_score(name, s1, s2, _scoring(args), r.score,
+                                 args.check)
+        if err:
+            print(f"ERROR {err}", file=sys.stderr)
+            bad += 1
+            continue
         print(f"{r.label}\t{r.row()['ms_avg']} ms\t{r.row()['gcups_best']} GCUPS"
               f"\tscore {r.score}")
         results.append(r)
@@ -174,7 +225,7 @@ def cmd_bench(args) -> int:
 
         write_json(args.json, results, {"backend": jax.default_backend(),
                                         "impl": args.impl, "runs": args.runs})
-    return 0
+    return 1 if bad else 0
 
 
 def cmd_tune(args) -> int:
@@ -274,6 +325,11 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--tsv")
     p.add_argument("--json")
+    p.add_argument("--check", choices=["golden", "native", "off"],
+                   default="golden",
+                   help="score cross-check per row: 'golden' = reference "
+                        "binary pins (default), 'native' = independent C++ "
+                        "scorer (any config), 'off' = none")
     _add_scoring_args(p)
     _add_engine_args(p)
     p.set_defaults(fn=cmd_bench)
