@@ -1,0 +1,129 @@
+"""Compiled-on-silicon validation of every engine surface (pytest -m tpu).
+
+Successor of ``tools/tpu_smoke.py`` (verdict r1 item #6: nothing prevented a
+regression that passes the interpreted CPU suite and breaks on Mosaic).  Each
+test compiles the real kernel on the chip and checks scores against the
+oracle / golden pins / the independent native scorer.
+"""
+
+import numpy as np
+import pytest
+
+CORPUS = "/root/reference/bdna"
+
+
+@pytest.fixture(scope="module")
+def corpus_pair():
+    from tpualign.io.bdna import read_bdna
+
+    def load(name):
+        return (
+            read_bdna(f"{CORPUS}/{name}1.bdna"),
+            read_bdna(f"{CORPUS}/{name}2.bdna"),
+        )
+
+    return load
+
+
+@pytest.mark.parametrize("impl", ["bitpal", "band", "pallas", "xla"])
+def test_golden_corpus_every_engine(corpus_pair, impl):
+    from tpualign import align_score
+    from tpualign.config import EngineConfig
+    from tpualign.golden import GOLDEN_NW_UNIT
+
+    for name in ("debug", "small", "t", "smid"):
+        s1, s2 = corpus_pair(name)
+        got = align_score(s1, s2, engine=EngineConfig(impl=impl))
+        assert got == GOLDEN_NW_UNIT[name], (name, impl)
+
+
+@pytest.mark.parametrize(
+    "cfg_args",
+    [
+        {},
+        {"match": 1, "mismatch": -2, "gap": -4},
+        {"gap": -2},  # generalized-g kernel
+        {"match": 3, "mismatch": 2, "gap": -1},
+        {"mode": "local"},
+        {"match": 2, "mismatch": 1, "gap": -2},  # non-family -> band
+        {"match": 2, "mismatch": -1, "gap": -2, "mode": "local"},
+    ],
+)
+def test_random_pairs_vs_oracle(cfg_args):
+    from tpualign import align_score
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import oracle
+
+    kw = dict(cfg_args)
+    if kw.pop("mode", None):
+        kw["mode"] = AlignMode.LOCAL
+    cfg = ScoringConfig(**kw)
+    s1, s2 = random_pair(3001, 2777, seed=sum(map(abs, map(hash, kw))) % 997)
+    assert align_score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+
+
+def test_band_engine_multi_strip():
+    # n > R forces the SMEM boundary-row hand-off between strips on silicon
+    from tpualign.config import ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import band, oracle
+
+    s1, s2 = random_pair(2000, 9000, seed=3)
+    cfg = ScoringConfig(match=2, mismatch=-3, gap=-2)
+    assert band.score(s1, s2, cfg, rows=8) == oracle.score(s1, s2, cfg)
+
+
+def test_chunked_text_vs_native():
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import bitpal
+    from tpualign.utils import native
+
+    s1, s2 = random_pair(3_000_000, 5_000, seed=1)
+    got = bitpal.score(s1, s2)  # auto: rc=4 resumable chunk kernel
+    if native.available():
+        assert got == native.score(s1, s2)
+    fn1 = bitpal.score_fn(len(s1), len(s2), cols_per_step=1)
+    import jax.numpy as jnp
+
+    assert int(fn1(jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32))) \
+        == got
+
+
+def test_sharded_pipeline_p1():
+    from tpualign.config import ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import oracle
+    from tpualign.parallel import bitpal_strips
+    from tpualign.parallel.mesh import make_mesh
+
+    s1, s2 = random_pair(3000, 2900, seed=11)
+    got = bitpal_strips.score(s1, s2, mesh=make_mesh(1), chunk_cols=512)
+    assert got == oracle.score(s1, s2, ScoringConfig())
+
+
+def test_batch_api():
+    from tpualign import align_score_batch
+    from tpualign.config import ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import oracle
+
+    texts, queries, want = [], [], []
+    for i in range(4):
+        a, b = random_pair(200 + i, 150 + i, seed=i)
+        texts.append(a)
+        queries.append(b)
+        want.append(oracle.score(a, b, ScoringConfig()))
+    assert align_score_batch(texts, queries).tolist() == want
+
+
+def test_mid_alignment_valid(corpus_pair):
+    from tpualign import align
+    from tpualign.ops import bitpal, oracle
+
+    s1, s2 = corpus_pair("mid")
+    sc, a1, a2 = align(s1, s2)
+    assert sc == oracle.alignment_score(a1, a2)
+    assert sc == bitpal.score(s1, s2)
+    assert a1.replace("-", "") == "".join("-ATGC"[c] for c in s1)
+    assert a2.replace("-", "") == "".join("-ATGC"[c] for c in s2)

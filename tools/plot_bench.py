@@ -24,6 +24,28 @@ def read_tsv(path: str) -> List[Dict[str, str]]:
         return list(csv.DictReader(f, delimiter="\t"))
 
 
+def read_samples(tsv_path: str, metric: str):
+    """Per-label raw samples from the harness JSON next to ``tsv_path``,
+    converted into the plotted metric's units; None if no JSON exists."""
+    import json
+    import os
+
+    jpath = os.path.splitext(tsv_path)[0] + ".json"
+    if not os.path.exists(jpath):
+        return None
+    data = json.load(open(jpath))
+    out = []
+    for r in data.get("results", []):
+        ms = r.get("samples_ms")
+        if not ms:
+            return None
+        if metric.startswith("gcups"):
+            out.append([r["cells"] / (s * 1e-3) / 1e9 for s in ms])
+        else:
+            out.append(list(ms))
+    return out or None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("tsv", nargs="+", help="harness TSV files (one series each)")
@@ -59,7 +81,19 @@ def main() -> int:
         if base:
             ys = [y / base[x] if args.metric.startswith("gcups")
                   else base[x] / y for x, y in zip(xs, ys)]
-        ax.plot(xs, ys, marker="o", label=lab)
+        # error bars from the raw per-run samples the harness keeps in the
+        # sibling JSON (the graph-werror.py analog; multi-werror.tsv kept 5
+        # raw samples per cell).  Skipped under --speedup (the baseline has
+        # no matched samples).
+        samples = None if base else read_samples(path, args.metric)
+        if samples:
+            # clamp: TSV values are rounded, sample extremes are exact
+            lo = [max(0.0, y - min(s)) for y, s in zip(ys, samples)]
+            hi = [max(0.0, max(s) - y) for y, s in zip(ys, samples)]
+            ax.errorbar(xs, ys, yerr=[lo, hi], marker="o", label=lab,
+                        capsize=3)
+        else:
+            ax.plot(xs, ys, marker="o", label=lab)
     ax.set_xlabel("input pair")
     ax.set_ylabel("speedup vs baseline" if base else args.metric)
     ax.grid(True, alpha=0.3)

@@ -228,6 +228,45 @@ def cmd_bench(args) -> int:
     return 1 if bad else 0
 
 
+def cmd_tune_rc_chunk(args, s1, s2) -> int:
+    """2-D tuning surface (cols_per_step x chunk chars) of the single-chip
+    chunked-text kernel — the successor of the reference's N x M block-shape
+    sweep (``src/block-tune.sh`` + ``data/block-tuning/tuning-graph.py``)."""
+    import jax.numpy as jnp
+
+    from .bench.harness import time_device_fn
+    from .ops import bitpal
+
+    m, n = len(s1), len(s2)
+    if n > m:
+        s1, s2 = s2, s1
+        m, n = n, m
+    d1 = jnp.asarray(np.asarray(s1), jnp.int32)
+    d2 = jnp.asarray(np.asarray(s2), jnp.int32)
+    rows = []
+    for rc in (int(v) for v in args.rc.split(",")):
+        for chunk in (int(v) for v in args.values.split(",")):
+            fn = bitpal.score_fn(
+                m, n, _scoring(args), text_cap=min(chunk, m - 1),
+                cols_per_step=rc,
+            )
+            r = time_device_fn(
+                fn, (d1, d2), label=f"rc{rc}/c{chunk}",
+                cells=m * n, runs=args.runs,
+            )
+            print(f"rc={rc}\tchunk={chunk}\t{r.wall_s_best*1e3:.2f} ms\t"
+                  f"{r.gcups_best:.3f} GCUPS\tscore {r.score}")
+            rows.append((rc, chunk, round(r.wall_s_best * 1e3, 3),
+                         round(r.gcups_best, 3), r.score))
+    if args.tsv:
+        with open(args.tsv, "w") as f:
+            f.write("rc\tchunk\tms_best\tgcups\tscore\n")
+            for row in rows:
+                f.write("\t".join(str(v) for v in row) + "\n")
+        print(f"wrote {args.tsv}")
+    return 0
+
+
 def cmd_tune(args) -> int:
     """Sweep a sharded engine's chunk depth (COMMBUF_SIZE successor)."""
     import jax
@@ -237,6 +276,8 @@ def cmd_tune(args) -> int:
     from .parallel.mesh import make_mesh
 
     s1, s2 = read_bdna(args.seq1), read_bdna(args.seq2)
+    if args.engine == "rc-chunk":
+        return cmd_tune_rc_chunk(args, s1, s2)
     mesh = make_mesh(args.devices if args.devices > 0 else None)
     use_bitpal = args.engine == "bitpal"
     interpret = jax.devices()[0].platform != "tpu"
@@ -334,12 +375,18 @@ def main(argv: List[str] | None = None) -> int:
     _add_engine_args(p)
     p.set_defaults(fn=cmd_bench)
 
-    p = sub.add_parser("tune", help="sweep sharded-engine chunk depth")
+    p = sub.add_parser("tune", help="sweep engine tuning knobs")
     p.add_argument("seq1")
     p.add_argument("seq2")
-    p.add_argument("--engine", choices=["strips", "bitpal"], default="strips",
-                   help="general strip pipeline or bit-parallel word bands")
+    p.add_argument("--engine",
+                   choices=["strips", "bitpal", "rc-chunk"],
+                   default="strips",
+                   help="sharded chunk depth (strips/bitpal) or the 2-D "
+                        "(cols_per_step x chunk chars) surface of the "
+                        "single-chip chunked-text kernel (rc-chunk)")
     p.add_argument("--values", default="256,512,1024,2048,4096")
+    p.add_argument("--rc", default="1,2,3,4",
+                   help="cols_per_step values for --engine rc-chunk")
     p.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--tsv")

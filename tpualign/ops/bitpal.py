@@ -844,10 +844,15 @@ def _chunk_kernel_body(
     t_steps: int,
     unroll: int,
     r_star: Optional[int],
+    cap_slots,  # tuple of (slot_row, lane): per-step (1,1) h_out captures
     # refs: d0/mt SMEM (2,), text SMEM (t_steps//8,), ustream SMEM
     # (t_steps // (32 // B) entries of B bits), eq (ALPHABET, rows, LANES),
     # then B+3 state inputs (delta planes, cta, ctb, pend), B+3 state
-    # outputs, and optionally the (t_steps, LANES) tail capture
+    # outputs, optionally the (t_steps, LANES) tail capture (r_star), and
+    # optionally the (t_steps, len(cap_slots)) multi-row capture: the
+    # per-step bottom h_out of len(cap_slots) chosen words — the full
+    # horizontal-delta streams of those DP rows, which the K-way Hirschberg
+    # split turns into whole rows of H (one fill, many split points)
     *refs,
 ):
     """Resumable T-step slice of the bit-parallel wavefront (multi-chip).
@@ -873,7 +878,9 @@ def _chunk_kernel_body(
     cta_in, ctb_in, pend_in = refs[4 + B : 7 + B]
     v_out = refs[7 + B : 7 + 2 * B]
     cta_out, ctb_out, pend_out = refs[7 + 2 * B : 10 + 2 * B]
-    tail_out = refs[10 + 2 * B] if len(refs) > 10 + 2 * B else None
+    extra = list(refs[10 + 2 * B :])
+    tail_out = extra.pop(0) if r_star is not None else None
+    caps_out = extra.pop(0) if extra else None  # (t_steps, len(cap_slots))
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     offs = 2 * (row_i + rows * lane_i)
@@ -922,6 +929,11 @@ def _chunk_kernel_body(
         ct_ref[:] = ctn
         if tail_out is not None:  # score-only callers skip the capture
             tail_out[pl.ds(dl - 1, 1), :] = ctn[r_star : r_star + 1, :]
+        if caps_out is not None:
+            for j, (cr, cl) in enumerate(cap_slots):
+                caps_out[pl.ds(dl - 1, 1), j : j + 1] = ctn[
+                    cr : cr + 1, cl : cl + 1
+                ]
         pend_out[u % 2 : u % 2 + 1, :] = pltpu.roll(
             ctn[rows - 1 : rows, :], 1, axis=1
         )
@@ -948,18 +960,22 @@ def chunk_call(
     unroll: Optional[int] = None,
     interpret: bool = False,
     g: int = 1,
+    cap_slots=None,  # tuple of (slot_row, lane): multi-row h_out streams
 ):
-    """Run one T-step chunk; returns ``(new_state, tail_rows)``.
+    """Run one T-step chunk; returns ``(new_state, tail_rows[, caps])``.
 
     ``r_star=None`` skips the boundary-stream capture (score-only callers),
-    returning ``(new_state, None)`` and saving the (t_steps, 128) buffer."""
+    returning tail ``None`` and saving the (t_steps, 128) buffer.
+    ``cap_slots`` adds a third result: a (t_steps, J) buffer of the chosen
+    words' per-step bottom h_out packs (K-way Hirschberg row streams)."""
     if unroll is None:
         unroll = UNROLL_INTERPRET if interpret else UNROLL
     assert t_steps % unroll == 0 and t_steps % 16 == 0
     B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
     assert len(state) == B + 3, (len(state), B)
+    caps = tuple(cap_slots) if cap_slots else None
     kernel = functools.partial(
-        _chunk_kernel_body, g, rows, t_steps, unroll, r_star
+        _chunk_kernel_body, g, rows, t_steps, unroll, r_star, caps
     )
     state_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
     with_tail = r_star is not None
@@ -967,16 +983,24 @@ def chunk_call(
     out_shape = tuple(state_shapes)
     if with_tail:
         out_shape += (jax.ShapeDtypeStruct((t_steps, LANES), jnp.int32),)
+    if caps:
+        out_shape += (
+            jax.ShapeDtypeStruct((t_steps, len(caps)), jnp.int32),
+        )
+    n_out = len(out_shape)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[smem, smem, smem] + [vmem] * (n_state + 1),
-        out_specs=tuple([vmem] * (n_state + (1 if with_tail else 0))),
+        out_specs=tuple([vmem] * n_out),
         interpret=interpret,
     )(d0_mt, text_chunk, ustream, eq_planes, *state)
-    return out[:n_state], (out[n_state] if with_tail else None)
+    result = (out[:n_state], out[n_state] if with_tail else None)
+    if caps:
+        return result + (out[-1],)
+    return result
 
 
 def init_chunk_state(rows: int, g: int = 1):

@@ -161,6 +161,175 @@ def _split_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
 
 def _next_bucket(x: int) -> int:
     return _next_pow2(max(16, x))
+
+
+#: k-way splitting engages above this many query rows; below it the binary
+#: bisection's dispatch count is already small
+KWAY_MIN_ROWS = 8 * 1024
+
+#: target leaf span (query rows) produced by the k-way recursion
+KWAY_LEAF_ROWS = 640
+
+
+@functools.lru_cache(maxsize=None)
+def _kway_call(n: int, t_cap: int, S: int, g: int, interpret: bool):
+    """Jitted K-way row splitter for EXACT query length ``n``.
+
+    One forward + one reverse chunked fill capture the horizontal-delta
+    streams of ``J ~ ceil(n/31)/S - 1`` interior rows (the multi-row h_out
+    capture of ``bitpal._chunk_kernel_body``); cumsums turn each stream into
+    a whole row of H, a static ``delta = n mod 31``-row bridge aligns the
+    forward grid (rows ``31*S*(j+1)``) with the reverse grid (rows
+    ``n - 31*k``), and per row the crossing column is the argmax of
+    ``F + R`` — J split points on the optimal path from ONE dispatch,
+    against one split per dispatch (and a ~20-25 ms tunnel dispatch floor)
+    for the binary bisection.  Keyed by exact ``n`` so every slot index is
+    static; the uniform interior segments of one split share a single
+    compilation at the next level.
+
+    Returns ``fn(q, rq, t, rt, qa, qb, ta, tb) -> (J,) crossing columns``
+    (segment-local, garbage where the split row exceeds ``n``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    unroll = UNROLL_INTERPRET if interpret else UNROLL
+    nw = -(-n // WORD)
+    rows = _round_up(nw, bitpal.GRAIN) // LANES
+    nq_cap = _round_up(n, WORD)
+    delta = n % WORD  # bridge depth: fwd rows = 0 mod 31, rev = n mod 31
+    B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    mask_b = (1 << B) - 1
+    # the per-chunk capture output is (t_steps, J) int32 whose lane dim pads
+    # to 128 in VMEM — cap chunk length so it stays ~24 MB (more chunks in
+    # the scan, still one dispatch)
+    slice_cap = min(bitpal.TEXT_SMEM_CAP // 2, 48 * 1024)
+    t_steps = _round_up(min(t_cap + 2 * nw, slice_cap), max(unroll, 16))
+    n_chunks = -(-(t_cap + 2 * nw) // t_steps)
+    T = n_chunks * t_steps
+    u_words = -(-t_steps // bitpal.stream_epw(B))
+
+    # static split grid: forward word w_j -> row r_j = 31*(w_j+1); reverse
+    # word v_j -> row (from the bottom) 31*(v_j+1), i.e. original row
+    # r_j + delta.  Rows must leave >= 1 query row on each side.
+    fwd_words, rev_words, r_rows = [], [], []
+    j = 0
+    while True:
+        w = S * (j + 1) - 1
+        r = WORD * (w + 1)
+        if r + delta >= n or r + delta < 1:
+            break
+        v = (n - r) // WORD - 1
+        fwd_words.append(w)
+        rev_words.append(v)
+        r_rows.append(r + delta)  # the crossing row
+        j += 1
+    J = len(fwd_words)
+    if J == 0:
+        return None, ()
+
+    def slots(words):
+        return tuple((w % rows, w // rows) for w in words)
+
+    def stream_fill(qpad, tslice, t_len, cap_words):
+        eq = bitpal._eq_planes(qpad, nq_cap, nw, rows)
+        shifts8 = jnp.arange(8, dtype=jnp.int32) * 4
+        tpad = jnp.where(
+            jnp.arange(T, dtype=jnp.int32) < t_len,
+            jax.lax.dynamic_update_slice(
+                jnp.zeros((T,), jnp.int32), tslice, (0,)
+            ),
+            0,
+        )
+        tpacked = jnp.sum(
+            tpad.reshape(n_chunks, t_steps // 8, 8) << shifts8[None, None, :],
+            axis=2, dtype=jnp.int32,
+        )
+        ustream = jnp.zeros((u_words,), jnp.int32)
+
+        def chunk(state, x):
+            q_, tchunk = x
+            new_state, _, caps = bitpal.chunk_call(
+                jnp.stack([q_ * t_steps, t_len.astype(jnp.int32)]),
+                tchunk, ustream, eq, state,
+                rows=rows, t_steps=t_steps, r_star=None, unroll=unroll,
+                interpret=interpret, g=g, cap_slots=slots(cap_words),
+            )
+            return new_state, caps
+
+        _, caps = jax.lax.scan(
+            chunk, bitpal.init_chunk_state(rows, g),
+            (jnp.arange(n_chunks, dtype=jnp.int32), tpacked),
+        )
+        return caps.reshape(T, len(cap_words))  # entry i: step d = i+1
+
+    xcols = t_cap + 1  # F/R row length: columns 0..t_cap
+
+    @jax.jit
+    def fn(q, rq, t, rt, qa, qb, ta, tb):
+        t_len = tb - ta
+        qs = jax.lax.dynamic_slice(jnp.pad(q, (0, nq_cap)), (qa,), (nq_cap,))
+        rqs = jax.lax.dynamic_slice(
+            jnp.pad(rq, (0, nq_cap)), (q.shape[0] - qb,), (nq_cap,)
+        )
+        ts = jax.lax.dynamic_slice(jnp.pad(t, (0, T)), (ta,), (T,))
+        rts = jax.lax.dynamic_slice(
+            jnp.pad(rt, (0, T)), (t.shape[0] - tb,), (T,)
+        )
+        qmask = jnp.arange(nq_cap, dtype=jnp.int32) < (qb - qa)
+        caps_f = stream_fill(jnp.where(qmask, qs, 0), ts, t_len,
+                             tuple(fwd_words))
+        caps_r = stream_fill(jnp.where(qmask, rqs, 0), rts, t_len,
+                             tuple(rev_words))
+        xi = jnp.arange(xcols, dtype=jnp.int32)
+        xvalid = xi <= t_len
+
+        outs = []
+        for jj in range(J):
+            w, v, r_cross = fwd_words[jj], rev_words[jj], r_rows[jj]
+            r_f = WORD * (w + 1)
+            r_r = WORD * (v + 1)  # reverse-frame row
+            # F(r_f, x), x = 0..t_cap: h-deltas at stream i = x - 1 + 2w
+            df = (
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(caps_f[:, jj], (0, xcols)), 2 * w, xcols
+                ) & mask_b
+            ) - g
+            F = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(df[:-1])]
+            ) - g * r_f
+            # bridge F down delta rows to the crossing row r_cross
+            for e in range(1, delta + 1):
+                qc = qs[r_f + e - 1]  # char of bridge row (static index)
+                s = jnp.where(ts[:xcols] == qc, 1, 0).astype(jnp.int32)
+                s = jnp.where(qc > 0, s, 0)
+                V = jnp.maximum(
+                    jnp.concatenate(
+                        [jnp.full((1,), -(2**30), jnp.int32), F[:-1]]
+                    ) + jnp.concatenate(
+                        [jnp.zeros((1,), jnp.int32), s[:-1]]
+                    ),
+                    F - g,
+                )
+                F = jax.lax.associative_scan(
+                    jnp.maximum, V + g * xi
+                ) - g * xi
+            # R at the crossing row: reverse cumsum, flipped to x
+            dr = (
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(caps_r[:, jj], (0, xcols)), 2 * v, xcols
+                ) & mask_b
+            ) - g
+            Rc = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(dr[:-1])]
+            ) - g * r_r
+            # R(r_cross, x) = Rc[t_len - x]
+            R = jnp.take(Rc, jnp.clip(t_len - xi, 0, xcols - 1))
+            tot = jnp.where(xvalid, F + R, -(2**30))
+            outs.append(jnp.argmax(tot).astype(jnp.int32))
+        return jnp.stack(outs)
+
+    return fn, tuple(r_rows)
 def align(
     s1,
     s2,
@@ -184,9 +353,6 @@ def align(
 
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
-    nw_cap = _next_pow2(max(1, -(-len(s2) // WORD)))
-    t_cap = _next_pow2(max(16, (len(s1) + 1) // 2))
-    node = _split_call(nw_cap, t_cap, g, interpret)
     # root sequences (and reversals) live on device for the whole recursion;
     # every bisection node ships 5 integers down and 1 integer back
     q_dev = jnp.asarray(s2, jnp.int32)
@@ -212,8 +378,15 @@ def align(
     # futures, so while the oldest node's scalar crosses the host link the
     # newer (independent-subtree) nodes are already computing — the
     # round-trip latency pipelines away.  Leaves tile the text axis, so
-    # sorting by (ta, qa) restores path order.
+    # sorting by (ta, qa) restores path order.  Leaf walks start the moment
+    # a leaf is discovered (thread pool; the native walk releases the GIL),
+    # so the host-bound walking overlaps the device-bound bisection instead
+    # of serializing after it.
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=8)
+    leaf_futs = {}
 
     pending = deque()
 
@@ -221,26 +394,145 @@ def align(
         m, n = tb - ta, qb - qa
         if (m + 1) * (n + 1) <= base_cells or m < 2 or n < 2:
             leaves.append((ta, tb, qa, qb))
+            leaf_futs[(ta, tb, qa, qb)] = pool.submit(leaf, ta, tb, qa, qb)
             return
+        if n >= KWAY_MIN_ROWS:
+            # k-way row split: ONE dispatch yields ~32 crossing points on
+            # the (leftmost) optimal path — the binary node below costs one
+            # ~20-25 ms tunnel round trip per single split, which dominated
+            # large alignments (measured: 79 of 83 s at 2.5M).  Keyed by
+            # exact n: the uniform interior children of a split share one
+            # next-level compilation.
+            # ~32 splits when the children will be k-way-split again;
+            # otherwise go straight to leaf-sized spans (avoiding a storm
+            # of one-split binary dispatches on mid-sized children)
+            nw = -(-n // WORD)
+            S = nw // 33
+            if WORD * S < KWAY_MIN_ROWS:
+                S = max(1, KWAY_LEAF_ROWS // WORD)
+            kfn, r_rows = _kway_call(
+                n, _next_bucket(m), S, g, interpret
+            )
+            if kfn is not None:
+                fut = kfn(q_dev, rq_dev, t_dev, rt_dev,
+                          jnp.int32(qa), jnp.int32(qb),
+                          jnp.int32(ta), jnp.int32(tb))
+                pending.append(("kway", ta, tb, qa, qb, r_rows, fut))
+                return
+        # binary fallback: per-node pow2 shape bucket, so each bisection
+        # level costs ~2 fills over the level's (halving) total cells — the
+        # whole recursion ~4 root fills (round 1 padded every node to the
+        # root bucket: 35 s for a 400k alignment whose score took 0.114 s)
+        nw_cap = _next_pow2(max(1, -(-n // WORD)))
+        t_cap = _next_pow2(max(16, (m + 1) // 2))
+        node = _split_call(nw_cap, t_cap, g, interpret)
         fut = node(q_dev, rq_dev, t_dev, rt_dev,
                    jnp.int32(qa), jnp.int32(qb), jnp.int32(ta),
                    jnp.int32(ta + m // 2), jnp.int32(tb))
-        pending.append((ta, tb, qa, qb, fut))
+        pending.append(("bin", ta, tb, qa, qb, None, fut))
 
     submit(0, len(s1), 0, len(s2))
     while pending:
-        ta, tb, qa, qb, fut = pending.popleft()
-        split = qa + int(fut)
-        mid = ta + (tb - ta) // 2
-        submit(ta, mid, qa, split)
-        submit(mid, tb, split, qb)
+        kind, ta, tb, qa, qb, r_rows, fut = pending.popleft()
+        if kind == "bin":
+            split = qa + int(fut)
+            mid = ta + (tb - ta) // 2
+            submit(ta, mid, qa, split)
+            submit(mid, tb, split, qb)
+            continue
+        xs = np.asarray(fut)
+        # first-argmax crossings all lie on the leftmost optimal path
+        # (pointwise-min lattice of optimal paths in a planar DAG), so they
+        # are jointly consistent; monotonicity is asserted, not clamped
+        assert all(x0 <= x1 for x0, x1 in zip(xs, xs[1:])), "non-monotone"
+        bounds = [(qa, ta)]
+        for r, x in zip(r_rows, xs):
+            bounds.append((qa + r, ta + int(x)))
+        bounds.append((qb, tb))
+        for (r0, x0), (r1, x1) in zip(bounds, bounds[1:]):
+            submit(x0, x1, r0, r1)
     leaves.sort(key=lambda r: (r[0], r[2]))
-    # leaf segments are independent; the native walk releases the GIL, so a
-    # thread pool fills host cores while preserving path order
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        results = list(pool.map(lambda r: leaf(*r), leaves))
+    results = [leaf_futs[r].result() for r in leaves]
+    pool.shutdown()
     a1 = "".join(r[1] for r in results)
     a2 = "".join(r[2] for r in results)
+    return oracle.alignment_score(a1, a2, cfg), a1, a2
+
+
+def align_sharded(
+    s1,
+    s2,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    mesh=None,
+    chunk_cols: int = 512,
+    interpret: bool = False,
+    base_cells: int = 1 << 18,
+) -> Tuple[int, str, str]:
+    """Hirschberg bisection whose forward/reverse column scores run the
+    multi-chip word-band pipeline (``parallel.bitpal_strips.col_deltas_fn``)
+    — alignment recovery when the query's bit-parallel state exceeds one
+    chip's VMEM band (verdict r1 item #5).
+
+    Shapes compile per segment (cheap on the CPU-mesh test path where Pallas
+    is interpreted; on real slices, bucket like :func:`align` if node count
+    grows).  ``s1`` = text (columns), ``s2`` = query (rows, sharded).
+    """
+    fam = bitpal.family(cfg)
+    if fam is None:
+        raise ValueError(
+            "sharded hirschberg requires a bit-parallel scoring family"
+        )
+    g = fam[1]
+    from ..parallel import bitpal_strips
+    from ..parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    import jax.numpy as jnp
+
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+
+    from ..utils import native
+
+    use_native = native.available()
+
+    def leaf(text, query):
+        if use_native and not cfg.is_local:
+            try:
+                return native.traceback(text, query, cfg)
+            except RuntimeError:
+                pass
+        return oracle.traceback(text, query, cfg)
+
+    def col_scores(text, query):
+        n_seg = len(query)
+        if n_seg == 0:
+            return np.zeros(1, np.int64) - g * len(text)
+        fn = bitpal_strips.col_deltas_fn(
+            len(text), n_seg, cfg, mesh=mesh, chunk_cols=chunk_cols,
+            interpret=interpret,
+        )
+        d = np.asarray(
+            fn(jnp.asarray(text, jnp.int32), jnp.asarray(query, jnp.int32))
+        )[:n_seg]
+        return np.concatenate(([0], np.cumsum(d))) - g * len(text)
+
+    def rec(ta, tb, qa, qb, out):
+        m, n = tb - ta, qb - qa
+        if (m + 1) * (n + 1) <= base_cells or m < 2 or n < 2:
+            out.append(leaf(s1[ta:tb], s2[qa:qb]))
+            return
+        mid = ta + m // 2
+        F = col_scores(s1[ta:mid], s2[qa:qb])
+        R = col_scores(s1[mid:tb][::-1], s2[qa:qb][::-1])
+        split = int(np.argmax(F + R[::-1]))
+        rec(ta, mid, qa, qa + split, out)
+        rec(mid, tb, qa + split, qb, out)
+
+    out: List[Tuple[int, str, str]] = []
+    rec(0, len(s1), 0, len(s2), out)
+    a1 = "".join(r[1] for r in out)
+    a2 = "".join(r[2] for r in out)
     return oracle.alignment_score(a1, a2, cfg), a1, a2

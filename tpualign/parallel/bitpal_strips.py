@@ -89,6 +89,7 @@ def _pipeline_body(
     t_steps: int,
     n_chunks: int,
     interpret: bool,
+    emit_deltas: bool,
     eq_local: jax.Array,  # (1, ALPHABET, rows, LANES) this chip's match planes
     text_packed: jax.Array,  # (n_chunks, t_steps//8) replicated chunk chars
 ) -> jax.Array:
@@ -142,6 +143,19 @@ def _pipeline_body(
         superstep, (init_state, zeros_t, zeros_t), steps
     )
 
+    if emit_deltas:
+        # this chip's band of final-column v-deltas, row-ordered: the
+        # sharded Hirschberg bisection consumes the whole column-score
+        # vector (F or R), not just the final score
+        B2 = B
+
+        def word_bits(plane):
+            words = plane.T.reshape(-1)[: nw_local]  # column-major order
+            return (words[:, None] >> jnp.arange(WORD, dtype=jnp.int32)) & 1
+
+        enc = sum((1 << b) * word_bits(state[b]) for b in range(B2))
+        return (enc - g).reshape(nw_local * WORD).astype(jnp.int32)
+
     # score = -g * mt + sum over valid query rows of the final-column
     # deltas; per row the delta is enc - g
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
@@ -189,7 +203,7 @@ def score_fn(
     )
     body = functools.partial(
         _pipeline_body, cfg, g, n, m, nw, nw_local, rows, delta,
-        t_steps, n_chunks, interpret,
+        t_steps, n_chunks, interpret, False,
     )
     Spec = jax.sharding.PartitionSpec
     # check_vma=False: pallas_call output avals carry no varying-mesh-axes
@@ -204,6 +218,49 @@ def score_fn(
         eq = _eq_planes_sharded(s2, n, nw, nw_local, rows, P)
         text = _pack_text_chunks(s1, m, t_steps, n_chunks)
         return bitpal._from_unit(cfg, m + n, sharded(eq, text)[0])
+
+    return fn
+
+
+def col_deltas_fn(
+    m: int,
+    n: int,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    mesh=None,
+    chunk_cols: int = 2048,
+    interpret: bool = False,
+):
+    """Jitted sharded ``(s1, s2) -> (ceil(n/31)*31,)`` final-column v-deltas
+    (reduced scheme).  The sharded Hirschberg bisection's column scores:
+    ``H(i, m) = -g*m + cumsum(deltas)[i]``.  Rows beyond ``n`` carry pad
+    deltas the caller slices off."""
+    fam = bitpal.family(cfg)
+    if fam is None:
+        raise ValueError("requires a bit-parallel scoring family")
+    g = fam[1]
+    if mesh is None:
+        mesh = make_mesh()
+    P = int(mesh.devices.size)
+    unroll = UNROLL_INTERPRET if interpret else UNROLL
+    nw, nw_local, rows, delta, t_steps, n_chunks = _geometry(
+        n, m, P, chunk_cols, unroll
+    )
+    body = functools.partial(
+        _pipeline_body, cfg, g, n, m, nw, nw_local, rows, delta,
+        t_steps, n_chunks, interpret, True,
+    )
+    Spec = jax.sharding.PartitionSpec
+    sharded = jax.shard_map(
+        body, mesh=mesh, in_specs=(Spec(AXIS), Spec()),
+        out_specs=Spec(AXIS), check_vma=False,
+    )
+
+    @jax.jit
+    def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
+        eq = _eq_planes_sharded(s2, n, nw, nw_local, rows, P)
+        text = _pack_text_chunks(s1, m, t_steps, n_chunks)
+        return sharded(eq, text)
 
     return fn
 
