@@ -214,7 +214,7 @@ def _kway_call(n: int, t_cap: int, S: int, g: int, interpret: bool):
     # r_j + delta.  Rows must leave >= 1 query row on each side.
     fwd_words, rev_words, r_rows = [], [], []
     j = 0
-    while True:
+    while j < LANES:  # Mosaic narrow stores cannot cross the 128-lane tile
         w = S * (j + 1) - 1
         r = WORD * (w + 1)
         if r + delta >= n or r + delta < 1:
@@ -409,7 +409,10 @@ def align(
             nw = -(-n // WORD)
             S = nw // 33
             if WORD * S < KWAY_MIN_ROWS:
-                S = max(1, KWAY_LEAF_ROWS // WORD)
+                # leaf-sized spans, but at most 128 splits per dispatch
+                # (capture stores cannot cross the 128-lane tile, and trace
+                # size scales with J)
+                S = max(1, KWAY_LEAF_ROWS // WORD, -(-nw // 128))
             kfn, r_rows = _kway_call(
                 n, _next_bucket(m), S, g, interpret
             )
