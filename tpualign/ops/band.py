@@ -163,7 +163,8 @@ def _band_kernel_body(
         is_last = s == n_strips - 1
         t_snap = jnp.where(is_last, t_star, -1)
 
-        def substep(t, u, bjm1, a_ref, as_ref, oa_ref, oas_ref):
+        def substep(t, u, bjm1, a_ref, as_ref, oa_ref, oas_ref,
+                    ramp=True):
             # --- char window (slides exactly like the value buffers) ---
             idx = jnp.clip(t - 1, 0, m - 1)
             ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
@@ -187,10 +188,13 @@ def _band_kernel_body(
             )
             if local:
                 new = jnp.maximum(new, 0)
-            new = jnp.where(phase == t, head_vals, new)  # wavefront head j=0
+            if ramp:  # wavefront head j=0; dead once t > max phase
+                new = jnp.where(phase == t, head_vals, new)
             new = jnp.maximum(new, jnp.where(k_is00, cand, NEG_INF))
             if local:
-                live = (phase < t) & (phase >= t - m) & i_mask
+                live = (phase >= t - m) & i_mask
+                if ramp:
+                    live = live & (phase < t)
                 v_ref[:] = jnp.maximum(
                     v_ref[:], jnp.where(live, new, NEG_INF)
                 )
@@ -219,14 +223,16 @@ def _band_kernel_body(
             )
             return bj
 
-        def block(tt, bjm1):
+        def block_impl(tt, bjm1, ramp):
             t0 = tt * UNROLL
             for u in range(UNROLL):
                 t = t0 + u
                 if u % 2 == 0:
-                    bjm1 = substep(t, u, bjm1, a0_ref, a0s_ref, a1_ref, a1s_ref)
+                    bjm1 = substep(t, u, bjm1, a0_ref, a0s_ref, a1_ref,
+                                   a1s_ref, ramp=ramp)
                 else:
-                    bjm1 = substep(t, u, bjm1, a1_ref, a1s_ref, a0_ref, a0s_ref)
+                    bjm1 = substep(t, u, bjm1, a1_ref, a1s_ref, a0_ref,
+                                   a0s_ref, ramp=ramp)
             # --- bottom row -> next boundary, batched per block ---
             # pendv[u] is the lane-rolled tail row of step t0+u, so its lane 0
             # holds slot (nr-1, 127) = the strip's bottom-row value.  Scalar
@@ -239,7 +245,23 @@ def _band_kernel_body(
                 b_ref[idx] = pendv_ref[u, 0]
             return bjm1
 
-        jax.lax.fori_loop(0, t_steps // UNROLL, block, i0g, unroll=False)
+        def block_ramp(tt, bjm1):
+            return block_impl(tt, bjm1, True)
+
+        def block_steady(tt, bjm1):
+            return block_impl(tt, bjm1, False)
+
+        # head injections only happen while t <= max phase: split the sweep
+        # so the steady-state blocks skip the injection select (and SW's
+        # redundant `phase < t` compare) entirely
+        t_head = min(t_steps, _round_up(p_max + 2, UNROLL))
+        bjm1 = jax.lax.fori_loop(
+            0, t_head // UNROLL, block_ramp, i0g, unroll=False
+        )
+        jax.lax.fori_loop(
+            t_head // UNROLL, t_steps // UNROLL, block_steady, bjm1,
+            unroll=False,
+        )
         return 0
 
     jax.lax.fori_loop(0, n_strips, strip, 0, unroll=False)
