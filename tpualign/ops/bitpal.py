@@ -255,6 +255,7 @@ def _bitpal_kernel_body(
     rows: int,
     total: int,
     unroll: int,
+    nw: int,
     text_ref,
     eq_ref,  # (ALPHABET, rows, LANES) match planes per base code
     b0_out,
@@ -288,7 +289,7 @@ def _bitpal_kernel_body(
     ctb_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
     pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
 
-    def step(d, u):
+    def step(d, u, freeze=True):
         # word 0 takes the fresh text char (its column is d) and the DP
         # boundary row's horizontal delta (Dh(0,j) = gap -> h_top bit 3);
         # other lanes' row 0 takes the two-step-old rolled tail row.
@@ -317,12 +318,19 @@ def _bitpal_kernel_body(
         u0 = cts & 1
         u1 = (cts >> 1) & 1
         b0n, b1n, tp = _plane_step(E, b0_out[:], b1_out[:], u0, u1)
-        # freeze words outside their live column range [1, mt]: pre-start
-        # words must stay at the column-0 state, finished words hold their
-        # final (column mt) deltas, which the score reduction reads
-        upd = (offs <= d - 1) & (offs >= d - mt)
-        b0_out[:] = jnp.where(upd, b0n, b0_out[:])
-        b1_out[:] = jnp.where(upd, b1n, b1_out[:])
+        if freeze:
+            # freeze words outside their live column range [1, mt]:
+            # pre-start words must stay at the column-0 state, finished
+            # words hold their final (column mt) deltas, which the score
+            # reduction reads
+            upd = (offs <= d - 1) & (offs >= d - mt)
+            b0_out[:] = jnp.where(upd, b0n, b0_out[:])
+            b1_out[:] = jnp.where(upd, b1n, b1_out[:])
+        else:
+            # steady state: every real word is inside [1, mt] (pad slots
+            # only ever feed other pad slots and are masked from the score)
+            b0_out[:] = b0n
+            b1_out[:] = b1n
         ctn = tp | (cts & ~jnp.int32(3))
         ct_ref[:] = ctn  # read slot == write slot: consumed at step d+2
         # tail hand-off to the next lane: rolled now, consumed at step d+2 —
@@ -331,16 +339,24 @@ def _bitpal_kernel_body(
             ctn[rows - 1 : rows, :], 1, axis=1
         )
 
-    def body(tt, _):
+    def body(tt, _, freeze=True):
         d0 = unroll * tt + 1
         for u in range(unroll):
-            step(d0 + u, u)
+            step(d0 + u, u, freeze)
         return 0
 
-    # total is pre-rounded to UNROLL; overrun steps find no live word (the
-    # update mask is empty once every word is past column mt) and change
-    # nothing
-    jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+    # Three phases: ramp-in (words entering), steady (every real word live:
+    # the freeze mask is all-true, ~92% of the steps at corpus sizes — skip
+    # its 5 ops), drain (words finishing).  `total` is pre-rounded to
+    # UNROLL; overrun steps find no live word and change nothing.
+    d_lo = 2 * (nw - 1) + 1  # first step with every real word started
+    tt0 = max(0, min(-(-(d_lo - 1) // unroll), total // unroll))
+    tt1 = max(tt0, min(mt // unroll, total // unroll))
+    jax.lax.fori_loop(0, tt0, body, 0, unroll=False)
+    jax.lax.fori_loop(
+        tt0, tt1, functools.partial(body, freeze=False), 0, unroll=False
+    )
+    jax.lax.fori_loop(tt1, total // unroll, body, 0, unroll=False)
 
 
 def _add_planes(A, Bp):
@@ -405,6 +421,7 @@ def _g_kernel_body(
     rows: int,
     total: int,
     unroll: int,
+    nw: int,
     text_ref,
     eq_ref,
     *refs,
@@ -429,7 +446,7 @@ def _g_kernel_body(
     ctb_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
     pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
 
-    def step(d, uu):
+    def step(d, uu, freeze=True):
         ct_ref = cta_ref if uu % 2 == 0 else ctb_ref
         idx = jnp.minimum(d - 1, mt - 1)
         val = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
@@ -445,9 +462,13 @@ def _g_kernel_body(
         )
         u = [(cts >> b) & 1 for b in range(B)]
         Vn, U = _g_plane_step(g, E, [r[:] for r in v_out], u)
-        upd = (offs <= d - 1) & (offs >= d - mt)
-        for r, vn in zip(v_out, Vn):
-            r[:] = jnp.where(upd, vn, r[:])
+        if freeze:
+            upd = (offs <= d - 1) & (offs >= d - mt)
+            for r, vn in zip(v_out, Vn):
+                r[:] = jnp.where(upd, vn, r[:])
+        else:  # steady state: every real word live, pads only feed pads
+            for r, vn in zip(v_out, Vn):
+                r[:] = vn
         tp = (U[0] >> (WORD - 1)) & 1
         for b in range(1, B):
             tp = tp | ((U[b] >> (WORD - 1 - b)) & (1 << b))
@@ -457,17 +478,25 @@ def _g_kernel_body(
             ctn[rows - 1 : rows, :], 1, axis=1
         )
 
-    def body(tt, _):
+    def body(tt, _, freeze=True):
         d0 = unroll * tt + 1
         for uu in range(unroll):
-            step(d0 + uu, uu)
+            step(d0 + uu, uu, freeze)
         return 0
 
-    jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+    # ramp / steady / drain split as in _bitpal_kernel_body
+    d_lo = 2 * (nw - 1) + 1
+    tt0 = max(0, min(-(-(d_lo - 1) // unroll), total // unroll))
+    tt1 = max(tt0, min(mt // unroll, total // unroll))
+    jax.lax.fori_loop(0, tt0, body, 0, unroll=False)
+    jax.lax.fori_loop(
+        tt0, tt1, functools.partial(body, freeze=False), 0, unroll=False
+    )
+    jax.lax.fori_loop(tt1, total // unroll, body, 0, unroll=False)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("g", "mt", "rows", "total", "unroll",
+    jax.jit, static_argnames=("g", "mt", "rows", "total", "unroll", "nw",
                               "interpret")
 )
 def _g_call(
@@ -478,10 +507,13 @@ def _g_call(
     rows: int,
     total: int,
     unroll: int,
+    nw: int,
     interpret: bool,
 ):
     B = max(1, (2 * g + 1).bit_length())
-    kernel = functools.partial(_g_kernel_body, g, mt, rows, total, unroll)
+    kernel = functools.partial(
+        _g_kernel_body, g, mt, rows, total, unroll, nw
+    )
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -1016,7 +1048,8 @@ def init_chunk_state(rows: int, g: int = 1):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mt", "rows", "total", "unroll", "interpret")
+    jax.jit, static_argnames=("mt", "rows", "total", "unroll", "nw",
+                     "interpret")
 )
 def _bitpal_call(
     text_staged: jax.Array,
@@ -1025,9 +1058,12 @@ def _bitpal_call(
     rows: int,
     total: int,
     unroll: int,
+    nw: int,
     interpret: bool,
 ):
-    kernel = functools.partial(_bitpal_kernel_body, mt, rows, total, unroll)
+    kernel = functools.partial(
+        _bitpal_kernel_body, mt, rows, total, unroll, nw
+    )
     out_shape = tuple(
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(2)
     )
@@ -1390,7 +1426,7 @@ def _score_fn_build(
             planes = _g_call(
                 _pack_text(text, mt),
                 _eq_planes(query, nq, nw, rows),
-                gval, mt, rows, total, unroll, interpret,
+                gval, mt, rows, total, unroll, nw, interpret,
             )
             pc = lambda x: jnp.sum(  # noqa: E731
                 jax.lax.population_count(x & valid)
@@ -1437,6 +1473,7 @@ def _score_fn_build(
             rows,
             total,
             unroll,
+            nw,
             interpret,
         )
         return _from_unit(cfg, mt + nq, _reduce_score(planes, valid, mt, nq))
