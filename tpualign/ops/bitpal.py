@@ -877,6 +877,7 @@ def _chunk_kernel_body(
     unroll: int,
     r_star: Optional[int],
     cap_slots,  # tuple of (slot_row, lane): per-step (1,1) h_out captures
+    nw: Optional[int],  # real word count: enables the dynamic steady split
     # refs: d0/mt SMEM (2,), text SMEM (t_steps//8,), ustream SMEM
     # (t_steps // (32 // B) entries of B bits), eq (ALPHABET, rows, LANES),
     # then B+3 state inputs (delta planes, cta, ctb, pend), B+3 state
@@ -927,7 +928,7 @@ def _chunk_kernel_body(
     d0 = d0_ref[0]
     mt = d0_ref[1]
 
-    def step(dl, u):
+    def step(dl, u, freeze=True):
         d = d0 + dl  # global (chip-local cumulative) step
         ct_ref = cta_out if u % 2 == 0 else ctb_out
         val = (text_ref[(dl - 1) >> 3] >> (((dl - 1) & 7) << 2)) & 15
@@ -954,9 +955,13 @@ def _chunk_kernel_body(
             tp = (U[0] >> (WORD - 1)) & 1
             for b in range(1, B):
                 tp = tp | ((U[b] >> (WORD - 1 - b)) & (1 << b))
-        upd = (offs <= d - 1) & (offs >= d - mt)
-        for r, vn in zip(v_out, Vn):
-            r[:] = jnp.where(upd, vn, r[:])
+        if freeze:
+            upd = (offs <= d - 1) & (offs >= d - mt)
+            for r, vn in zip(v_out, Vn):
+                r[:] = jnp.where(upd, vn, r[:])
+        else:  # steady: every real word inside [1, mt]; pads feed only pads
+            for r, vn in zip(v_out, Vn):
+                r[:] = vn
         ctn = tp | (cts & ~jnp.int32((1 << B) - 1))
         ct_ref[:] = ctn
         if tail_out is not None:  # score-only callers skip the capture
@@ -970,13 +975,29 @@ def _chunk_kernel_body(
             ctn[rows - 1 : rows, :], 1, axis=1
         )
 
-    def body(tt, _):
+    def body(tt, _, freeze=True):
         dl0 = unroll * tt + 1
         for u in range(unroll):
-            step(dl0 + u, u)
+            step(dl0 + u, u, freeze)
         return 0
 
-    jax.lax.fori_loop(0, t_steps // unroll, body, 0, unroll=False)
+    nblocks = t_steps // unroll
+    if nw is None:
+        jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
+    else:
+        # dynamic ramp/steady/drain: steady blocks (every real word live,
+        # i.e. d0+dl in [2(nw-1)+1, mt]) skip the freeze mask's ops.  The
+        # bounds are traced (d0/mt are runtime scalars); using the padded
+        # word count only shrinks the steady window (safe).
+        d_lo = 2 * (nw - 1) + 1
+        tt0 = jnp.clip(-(-(d_lo - 1 - d0) // unroll), 0, nblocks)
+        tt1 = jnp.clip((mt - d0) // unroll, tt0, nblocks)
+        jax.lax.fori_loop(0, tt0, body, 0, unroll=False)
+        jax.lax.fori_loop(
+            tt0, tt1, functools.partial(body, freeze=False), 0,
+            unroll=False,
+        )
+        jax.lax.fori_loop(tt1, nblocks, body, 0, unroll=False)
 
 
 def chunk_call(
@@ -993,6 +1014,7 @@ def chunk_call(
     interpret: bool = False,
     g: int = 1,
     cap_slots=None,  # tuple of (slot_row, lane): multi-row h_out streams
+    nw: Optional[int] = None,  # real word count: enables the steady split
 ):
     """Run one T-step chunk; returns ``(new_state, tail_rows[, caps])``.
 
@@ -1007,7 +1029,7 @@ def chunk_call(
     assert len(state) == B + 3, (len(state), B)
     caps = tuple(cap_slots) if cap_slots else None
     kernel = functools.partial(
-        _chunk_kernel_body, g, rows, t_steps, unroll, r_star, caps
+        _chunk_kernel_body, g, rows, t_steps, unroll, r_star, caps, nw
     )
     state_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
     with_tail = r_star is not None
@@ -1595,6 +1617,7 @@ def _score_chunked_fn(
                 unroll=unroll,
                 interpret=interpret,
                 g=g,
+                nw=nw,
             )
             return new_state, None
 

@@ -108,6 +108,7 @@ def _split_call(nw_cap: int, t_cap: int, g: int, interpret: bool):
                 unroll=unroll,
                 interpret=interpret,
                 g=g,
+                nw=nw_cap,
             )
             return new_state, None
 
@@ -254,6 +255,7 @@ def _kway_call(n: int, t_cap: int, S: int, g: int, interpret: bool):
                 tchunk, ustream, eq, state,
                 rows=rows, t_steps=t_steps, r_star=None, unroll=unroll,
                 interpret=interpret, g=g, cap_slots=slots(cap_words),
+                nw=nw,
             )
             return new_state, caps
 

@@ -126,6 +126,7 @@ def _pipeline_body(
             r_star=r_star,
             interpret=interpret,
             g=g,
+            nw=nw_local,
         )
         state = tuple(
             jnp.where(active, ns, os) for ns, os in zip(new_state, state)
