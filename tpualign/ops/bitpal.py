@@ -879,7 +879,8 @@ def _chunk_kernel_body(
     cap_slots,  # tuple of (slot_row, lane): per-step (1,1) h_out captures
     nw: Optional[int],  # real word count: enables the dynamic steady split
     # refs: d0/mt SMEM (2,), text SMEM (t_steps//8,), ustream SMEM
-    # (t_steps // (32 // B) entries of B bits), eq (ALPHABET, rows, LANES),
+    # (t_steps // stream_epw(B) words, stream_epw(B) pow2-packed entries
+    # per word), eq (ALPHABET, rows, LANES),
     # then B+3 state inputs (delta planes, cta, ctb, pend), B+3 state
     # outputs, optionally the (t_steps, LANES) tail capture (r_star), and
     # optionally the (t_steps, len(cap_slots)) multi-row capture: the

@@ -172,7 +172,7 @@ KWAY_MIN_ROWS = 8 * 1024
 KWAY_LEAF_ROWS = 640
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _kway_call(n: int, t_cap: int, S: int, g: int, interpret: bool):
     """Jitted K-way row splitter for EXACT query length ``n``.
 
@@ -392,13 +392,14 @@ def align(
 
     pending = deque()
 
-    def submit(ta: int, tb: int, qa: int, qb: int) -> None:
+    def submit(ta: int, tb: int, qa: int, qb: int,
+               force_bin: bool = False) -> None:
         m, n = tb - ta, qb - qa
         if (m + 1) * (n + 1) <= base_cells or m < 2 or n < 2:
             leaves.append((ta, tb, qa, qb))
             leaf_futs[(ta, tb, qa, qb)] = pool.submit(leaf, ta, tb, qa, qb)
             return
-        if n >= KWAY_MIN_ROWS:
+        if n >= KWAY_MIN_ROWS and not force_bin:
             # k-way row split: ONE dispatch yields ~32 crossing points on
             # the (leftmost) optimal path — the binary node below costs one
             # ~20-25 ms tunnel round trip per single split, which dominated
@@ -436,29 +437,33 @@ def align(
                    jnp.int32(ta + m // 2), jnp.int32(tb))
         pending.append(("bin", ta, tb, qa, qb, None, fut))
 
-    submit(0, len(s1), 0, len(s2))
-    while pending:
-        kind, ta, tb, qa, qb, r_rows, fut = pending.popleft()
-        if kind == "bin":
-            split = qa + int(fut)
-            mid = ta + (tb - ta) // 2
-            submit(ta, mid, qa, split)
-            submit(mid, tb, split, qb)
-            continue
-        xs = np.asarray(fut)
-        # first-argmax crossings all lie on the leftmost optimal path
-        # (pointwise-min lattice of optimal paths in a planar DAG), so they
-        # are jointly consistent; monotonicity is asserted, not clamped
-        assert all(x0 <= x1 for x0, x1 in zip(xs, xs[1:])), "non-monotone"
-        bounds = [(qa, ta)]
-        for r, x in zip(r_rows, xs):
-            bounds.append((qa + r, ta + int(x)))
-        bounds.append((qb, tb))
-        for (r0, x0), (r1, x1) in zip(bounds, bounds[1:]):
-            submit(x0, x1, r0, r1)
-    leaves.sort(key=lambda r: (r[0], r[2]))
-    results = [leaf_futs[r].result() for r in leaves]
-    pool.shutdown()
+    with pool:  # shutdown(wait=True) even if bisection raises mid-flight
+        submit(0, len(s1), 0, len(s2))
+        while pending:
+            kind, ta, tb, qa, qb, r_rows, fut = pending.popleft()
+            if kind == "bin":
+                split = qa + int(fut)
+                mid = ta + (tb - ta) // 2
+                submit(ta, mid, qa, split)
+                submit(mid, tb, split, qb)
+                continue
+            xs = np.asarray(fut)
+            # first-argmax crossings all lie on the leftmost optimal path
+            # (pointwise-min lattice of optimal paths in a planar DAG), so
+            # they are jointly consistent; if the invariant ever fails
+            # (unforeseen tie case / kernel bug) fall back to binary
+            # bisection for this node instead of submitting inverted segments
+            if any(x0 > x1 for x0, x1 in zip(xs, xs[1:])):
+                submit(ta, tb, qa, qb, force_bin=True)
+                continue
+            bounds = [(qa, ta)]
+            for r, x in zip(r_rows, xs):
+                bounds.append((qa + r, ta + int(x)))
+            bounds.append((qb, tb))
+            for (r0, x0), (r1, x1) in zip(bounds, bounds[1:]):
+                submit(x0, x1, r0, r1)
+        leaves.sort(key=lambda r: (r[0], r[2]))
+        results = [leaf_futs[r].result() for r in leaves]
     a1 = "".join(r[1] for r in results)
     a2 = "".join(r[2] for r in results)
     return oracle.alignment_score(a1, a2, cfg), a1, a2
