@@ -116,3 +116,24 @@ def test_envelope_guard():
     s1, s2 = random_pair(4, 4, 0)
     with pytest.raises(ValueError):
         band._orient(band.MAX_BOUNDARY + 1, band.MAX_BOUNDARY + 1)
+
+
+def test_int32_fallback_path():
+    # weights big enough that the score bound exceeds float32's 24-bit
+    # integer exactness: the kernel must take the int32 value path
+    cfg = ScoringConfig(match=200_000, mismatch=-90_000, gap=-80_000)
+    s1, s2 = random_pair(90, 70, 11)
+    assert not band._wants_f32(cfg, 90, 70)
+    assert band.score(s1, s2, cfg, rows=8, interpret=True) == oracle.score(
+        s1, s2, cfg
+    )
+
+
+def test_sw_positive_mismatch_masked_path():
+    # mismatch > 0 disables the unmasked running max; the masked branch
+    # must still agree with the oracle
+    cfg = ScoringConfig(match=3, mismatch=1, gap=-2, mode=AlignMode.LOCAL)
+    s1, s2 = random_pair(120, 300, 13)
+    assert band.score(s1, s2, cfg, rows=8, interpret=True) == oracle.score(
+        s1, s2, cfg
+    )

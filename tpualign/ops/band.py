@@ -24,23 +24,46 @@ within a strip, DP row ``k`` (k = 0..R-1) lives at slot
 (``bitpal.py:50-61``):
 
 * the every-step shift-by-one (values and the text-char window alike) is a
-  cheap **sublane** roll (~6-15 cycles);
+  cheap **sublane** shift;
 * the once-per-lane boundary (row 0 needs the previous lane's tail) is a lane
   roll **consumed 3-4 steps after it is produced** — entirely off the
   dependency chain, carried across the gap by an 8-deep ping-pong ring;
 * buffers shrink from O(min(N,M)) to O(R): every swept slot is (near-)live,
   so per-cell issue cost drops ~2x on square pairs.
 
+Round-3 "lean" schedule (verdict item #1: close the general/SW gap)
+-------------------------------------------------------------------
+Measured on this chip (tools/microbench_narrow.py + issue-cost probes):
+int16/int8 vector select/max/roll do not compile, and bf16 ops crack into
+two micro-ops per vreg — narrow-type packing buys nothing.  What does pay:
+
+* every former ``roll + where(row_is0, ...)`` pair is ONE concatenate — the
+  row-0 merge rides inside the shift (``jnp.concatenate([row0, x[:-1]])``);
+* the top-row boundary candidate no longer touches the full plane: it is
+  fixed up on ``(1, LANES)`` tiles (a sub-vreg select + max and two small
+  stores) instead of a plane-wide select + max;
+* **sentinel padding** makes Smith-Waterman's running max unmasked: strip
+  pad rows carry char 5 and the post-text stream char 6 — neither matches
+  any live code 0..4, so (for the usual ``mismatch <= 0 >= gap``) dead and
+  pad cells only decay and ``vmax = max(vmax, new)`` needs no live mask;
+* values run in **float32 when the score bound fits 24-bit-exact integers**
+  (|score| paths bounded by (m+n+2)*wmax < 2^24): f32 max issues ~1.4x
+  cheaper than int32 max on this VPU; int32 remains the exact fallback for
+  extreme products.
+
+Net: ~9 full-plane vector ops per NW step (11 for SW) against the previous
+~17/~23 — measured 2x on the 64gb sweep.
+
 Strips couple through one **boundary row** ``B[j] = H(i0, j)`` held in SMEM:
 the strip's top row consumes ``B[j-1], B[j]`` as *scalars* (scalar SMEM reads
 are cheap and off the vector critical path), and its bottom row emits the next
-boundary one scalar per step (a cross-lane reduce whose ~80-cycle latency only
-feeds a store).  Writes trail reads by ``R + 2*(LANES-1)`` steps, so one
-buffer serves in place.  Unlike the flat kernel there is no NEG-emergence
-trick: every boundary cell is *injected* (the wavefront head writes
-``H(i, 0)`` when ``t == phase``, the top row merges the scalar candidate), so
-any scoring scheme is admitted — including Smith-Waterman, whose zero floor
-and running-max masking ride the same schedule.
+boundary one scalar per step (batched per unrolled block from the pendv
+ring's lane-0 column as scalar VMEM reads).  Writes trail reads by
+``R + 2*(LANES-1)`` steps, so one buffer serves in place.  Every boundary
+cell is *injected* (the wavefront head writes ``H(i, 0)`` when
+``t == phase``, the top row merges the scalar candidate), so any scoring
+scheme is admitted — including Smith-Waterman, whose zero floor and running
+max ride the same schedule.
 
 Capability envelope: the strip axis (``s2``) is **unbounded** (strips
 stream), the boundary axis (``s1``) must fit SMEM (~200k chars); the
@@ -65,16 +88,24 @@ from .pallas_diag import LANES, _round_up
 
 NEG_INF = -(2**30)
 
-#: steps fused per loop iteration; the pend rings are 8 deep and indexed by
-#: ``t mod 8``, so this must stay 8 (t ≡ u (mod 8) holds for every block)
+#: steps fused per loop iteration.  The pend rings are 8 deep and indexed
+#: by ``u mod 8``; any multiple of 8 keeps ``t ≡ u (mod 8)`` for every block
 UNROLL = 8
 
-#: boundary-row capacity: B (int32 per column) plus the 4-bit packed text
-#: must fit SMEM (~1 MB) alongside loop scalars
+#: boundary-row capacity: B (one scalar per column) plus the 4-bit packed
+#: text must fit SMEM (~1 MB) alongside loop scalars
 MAX_BOUNDARY = 200_000
 
 #: strip-axis guard (HBM for the column-major char layout, ~4 B/char)
 MAX_STRIP_AXIS = 1 << 30
+
+#: float32 holds integers exactly below 2^24; past this score bound the
+#: kernel falls back to int32 values (same schedule, pricier maxes)
+F32_EXACT = 1 << 24
+
+#: strip pad rows carry this char: it matches neither live codes 0..4 nor
+#: the post-text sentinel 6, so pad cells can never out-climb live ones
+PAD_CHAR = 5
 
 
 def _phase_grid(nr: int):
@@ -84,19 +115,33 @@ def _phase_grid(nr: int):
     return r + c * (nr + 2), c * nr + r  # (phase, k_flat)
 
 
+def _shift1(row0, x, nr: int):
+    """Shift ``x`` down one sublane, inserting ``row0`` — merge + shift in
+    one concatenate (the round-3 lean trick; replaces roll + select)."""
+    return jnp.concatenate([row0, x[: nr - 1, :]], axis=0)
+
+
+def _lane_shift(row):
+    """(1, LANES) lane roll by one, dtype-generic (consumed 2-4 steps later,
+    so its cross-lane latency sits off the dependency chain)."""
+    return jnp.concatenate([row[:, -1:], row[:, :-1]], axis=1)
+
+
 def _band_kernel_body(
     n: int,
     m: int,
     nr: int,
     n_strips: int,
     t_steps: int,
+    unroll: int,
     cfg: ScoringConfig,
+    vdt,  # value dtype: jnp.float32 (24-bit-exact fast path) or jnp.int32
     # inputs
     s1_ref,  # SMEM (m/8,) packed text, 8 chars per int32 (4 bits each)
     s2tops_ref,  # SMEM (n_strips,) char of each strip's top row
     s2cm_ref,  # VMEM (n_strips*nr, LANES) column-major strip chars
     # output
-    out_ref,  # SMEM (1, 1) score
+    out_ref,  # SMEM (1, 1) score, value dtype
     # scratch
     a0_ref,
     a0s_ref,
@@ -107,18 +152,21 @@ def _band_kernel_body(
     snap_ref,
     pendv_ref,  # (8, LANES) value hand-off ring (lane-rolled tail rows)
     pendw_ref,  # (8, LANES) char-window hand-off ring
-    b_ref,  # SMEM (m + 2,) boundary row H(i0, :)
+    b_ref,  # SMEM (m + 3,) boundary row H(i0, :)
 ):
-    match = jnp.int32(cfg.match)
-    mismatch = jnp.int32(cfg.mismatch)
-    g = jnp.int32(cfg.gap)
+    match = vdt(cfg.match)
+    mismatch = vdt(cfg.mismatch)
+    g = vdt(cfg.gap)
     local = cfg.is_local
+    # pad/dead cells only decay under these signs; the rare SW config
+    # outside them keeps a masked running max (correct, a little slower)
+    unmasked_vmax = cfg.mismatch <= 0 and cfg.gap <= 0
     R = nr * LANES
     phase, k_flat = _phase_grid(nr)
-    row_is0 = jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 0) == 0
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    k_is00 = k_flat == 0
-    head_base = k_flat * g  # + (i0+1)*g per strip = H(i0+1+k, 0)
+    lane_is0 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
+    neg = jnp.full((nr, LANES), NEG_INF, vdt)
+    neg_row = jnp.full((1, LANES), NEG_INF, vdt)
+    head_base = k_flat.astype(vdt) * g  # + (i0+1)*g per strip = H(i0+1+k, 0)
     p_max = (nr - 1) + (LANES - 1) * (nr + 2)
     # NW answer lives at slot k* (cell H(n, m)) of the last strip, final at
     # step t* = m + phase(k*); snapshotted there before j>m garbage rolls in
@@ -131,151 +179,198 @@ def _band_kernel_body(
         == (k_star % nr) - snap_r0
     ) & (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1) == k_star // nr)
 
+    if local:
+        live_ramp = None  # built per strip (needs i_mask) when masked
+
     # --- strip-0 boundary row: H(0, j) = j * gap (0 for SW) ---
     def binit(j, _):
-        b_ref[j] = jnp.int32(0) if local else j * g
+        b_ref[j] = vdt(0) if local else jnp.int32(j).astype(vdt) * g
         return 0
 
     jax.lax.fori_loop(0, m + 1, binit, 0, unroll=False)
     if local:
-        v_ref[:] = jnp.zeros((nr, LANES), jnp.int32)
+        v_ref[:] = jnp.zeros((nr, LANES), vdt)
 
-    def strip(s, _):
+    def strip(s, aux_in):
         i0 = s * R  # boundary row index: B = H(i0, :)
-        i0g = jnp.int32(0) if local else i0 * g
-        neg = jnp.full((nr, LANES), NEG_INF, jnp.int32)
+        i0g = vdt(0) if local else jnp.int32(i0).astype(vdt) * g
         a0_ref[:] = neg
         a0s_ref[:] = neg
         a1_ref[:] = neg
         a1s_ref[:] = neg
         w_ref[:] = jnp.zeros((nr, LANES), jnp.int32)
-        pendv_ref[:] = jnp.full((8, LANES), NEG_INF, jnp.int32)
+        pendv_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
         pendw_ref[:] = jnp.zeros((8, LANES), jnp.int32)
         if local:  # SW boundary: H(i, 0) = 0
-            head_vals = jnp.zeros((nr, LANES), jnp.int32)
+            head_vals = jnp.zeros((nr, LANES), vdt)
         else:
-            head_vals = (i0 + 1) * g + head_base  # H(i0+1+k, 0)
+            head_vals = (jnp.int32(i0 + 1).astype(vdt)) * g + head_base
         s2cm = s2cm_ref[pl.ds(s * nr, nr), :]
         s2_first = s2tops_ref[s]  # char of the strip's top row
-        if local:
+        if local and not unmasked_vmax:
             n_loc = n - i0  # rows beyond the query are masked from the max
             i_mask = k_flat < n_loc
         is_last = s == n_strips - 1
         t_snap = jnp.where(is_last, t_star, -1)
+        fix_snap0 = snap_r0 == 0  # snapshot tile contains the cand-fixed row
 
-        def substep(t, u, bjm1, a_ref, as_ref, oa_ref, oas_ref,
-                    ramp=True):
+        def substep(t, u, bjm1, bj, c0s, aux, a_ref, as_ref, oa_ref,
+                    oas_ref, ramp=True):
             # --- char window (slides exactly like the value buffers) ---
             idx = jnp.clip(t - 1, 0, m - 1)
             ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+            # post-text sentinel 6: matches neither live codes 0..4 nor the
+            # pad rows' 5, so dead-region cells can only decay
+            ch = jnp.where(t - 1 < m, ch, 6)
             w_row0 = jnp.where(
-                lane_row == 0, ch, pendw_ref[(u - 3) % 8 : (u - 3) % 8 + 1, :]
+                lane_is0, ch, pendw_ref[(u - 3) % 8 : (u - 3) % 8 + 1, :]
             )
-            w_new = jnp.where(row_is0, w_row0, pltpu.roll(w_ref[:], 1, axis=0))
+            w_new = _shift1(w_row0, w_ref[:], nr)
             w_ref[:] = w_new
             sub = jnp.where(s2cm == w_new, match, mismatch)
-            # --- top-row scalar candidate from the boundary row ---
-            bj = b_ref[jnp.clip(t, 0, m)]
-            bj = jnp.where(t == 0, i0g, bj)  # H(i0, 0) never materialized
+            # --- TOP ROW IS SCALAR.  Slot (0, 0)'s in-plane inputs are NEG
+            # by construction (its up/diag live in the boundary row), so the
+            # true cell H(i0+1, t) follows the pure scalar recurrence
+            #   c0s_t = max(B[t-1] + sub0, B[t] + g, c0s_{t-1} + g)
+            # on the scalar core — no plane-wide select, no sub-vreg store.
+            # ``bjm1``/``bj`` are read per block (no serial carry on B). ---
             sub0 = jnp.where(s2_first == ch, match, mismatch)
             cand = jnp.maximum(bjm1 + sub0, bj + g)
-            cand = jnp.where(t >= 1, cand, NEG_INF)
+            cand = jnp.where(t >= 1, cand, vdt(NEG_INF))
+            c0s = jnp.maximum(cand, c0s + g)
             if local:
-                cand = jnp.maximum(cand, 0)
+                c0s = jnp.maximum(c0s, vdt(0))
             # --- the recurrence (oas still holds shift(diag t-2)) ---
             new = jnp.maximum(
                 oas_ref[:] + sub, jnp.maximum(a_ref[:], as_ref[:]) + g
             )
             if local:
-                new = jnp.maximum(new, 0)
+                new = jnp.maximum(new, vdt(0))
             if ramp:  # wavefront head j=0; dead once t > max phase
                 new = jnp.where(phase == t, head_vals, new)
-            new = jnp.maximum(new, jnp.where(k_is00, cand, NEG_INF))
+            # row 0 with the scalar top cell patched into lane 0 (pure
+            # value, feeds the shift concat below — never stored back)
+            c0 = jnp.where(lane_is0, c0s, new[0:1, :])
             if local:
-                live = (phase >= t - m) & i_mask
-                if ramp:
-                    live = live & (phase < t)
-                v_ref[:] = jnp.maximum(
-                    v_ref[:], jnp.where(live, new, NEG_INF)
-                )
+                if unmasked_vmax:
+                    # sentinel pad chars guarantee dead/pad cells decay
+                    v_ref[:] = jnp.maximum(v_ref[:], new)
+                    aux = jnp.maximum(aux, c0s)
+                else:
+                    live = (phase >= t - m) & i_mask
+                    if ramp:
+                        live = live & (phase < t)
+                    v_ref[:] = jnp.maximum(
+                        v_ref[:], jnp.where(live, new, vdt(NEG_INF))
+                    )
+                    # past-the-text top cells are fabricated; keep them out
+                    aux = jnp.maximum(
+                        aux, jnp.where(t <= m, c0s, vdt(NEG_INF))
+                    )
+            elif k_star == 0:
+                # answer cell is the scalar top cell of the last strip
+                aux = jnp.where(t == t_snap, c0s, aux)
             else:
                 # branchless single-vreg snapshot of the H(n, m) tile
                 # (t_snap == t_star only on the last strip)
-                snap_ref[:] = jnp.where(
-                    t == t_snap, new[snap_r0 : snap_r0 + 8, :], snap_ref[:]
-                )
+                src = new[snap_r0 : snap_r0 + 8, :]
+                if fix_snap0:  # tile row 0 carries the scalar top cell
+                    src = jnp.concatenate([c0, src[1:, :]], axis=0)
+                snap_ref[:] = jnp.where(t == t_snap, src, snap_ref[:])
 
             oa_ref[:] = new
             v_row0 = jnp.where(
-                lane_row == 0,
-                NEG_INF,
+                lane_is0,
+                vdt(NEG_INF),
                 pendv_ref[(u - 2) % 8 : (u - 2) % 8 + 1, :],
             )
-            oas_ref[:] = jnp.where(
-                row_is0, v_row0, pltpu.roll(new, 1, axis=0)
+            if nr > 1:  # shift down 1: row 0 <- ring, row 1 <- patched top
+                oas_ref[:] = jnp.concatenate(
+                    [v_row0, c0, new[1 : nr - 1, :]], axis=0
+                )
+            else:
+                oas_ref[:] = v_row0
+            # --- hand-offs: consumed 2-4 steps later, off the chain ---
+            tail = c0 if nr == 1 else new[nr - 1 : nr, :]
+            pendv_ref[u % 8 : u % 8 + 1, :] = _lane_shift(tail)
+            pendw_ref[u % 8 : u % 8 + 1, :] = _lane_shift(
+                w_new[nr - 1 : nr, :]
             )
-            # --- hand-offs: consumed 2-4 steps later, rolls off the chain ---
-            pendv_ref[u % 8 : u % 8 + 1, :] = pltpu.roll(
-                new[nr - 1 : nr, :], 1, axis=1
-            )
-            pendw_ref[u % 8 : u % 8 + 1, :] = pltpu.roll(
-                w_new[nr - 1 : nr, :], 1, axis=1
-            )
-            return bj
+            return c0s, aux
 
-        def block_impl(tt, bjm1, ramp):
-            t0 = tt * UNROLL
-            for u in range(UNROLL):
+        def block_impl(tt, carry, ramp):
+            c0s, aux = carry
+            t0 = tt * unroll
+            # B[t0-1 .. t0+unroll-1] read up front: in-block boundary writes
+            # trail by p_max >= 132 steps, so an early read is always safe
+            bv = []
+            for u in range(-1, unroll):
+                t = t0 + u
+                b = b_ref[jnp.clip(t, 0, m)]
+                bv.append(jnp.where(t == 0, i0g, b))
+            for u in range(unroll):
                 t = t0 + u
                 if u % 2 == 0:
-                    bjm1 = substep(t, u, bjm1, a0_ref, a0s_ref, a1_ref,
-                                   a1s_ref, ramp=ramp)
+                    c0s, aux = substep(t, u, bv[u], bv[u + 1], c0s, aux,
+                                       a0_ref, a0s_ref, a1_ref, a1s_ref,
+                                       ramp=ramp)
                 else:
-                    bjm1 = substep(t, u, bjm1, a1_ref, a1s_ref, a0_ref,
-                                   a0s_ref, ramp=ramp)
-            # --- bottom row -> next boundary, batched per block ---
-            # pendv[u] is the lane-rolled tail row of step t0+u, so its lane 0
-            # holds slot (nr-1, 127) = the strip's bottom-row value.  Scalar
-            # VMEM reads + branchless dump-slot stores keep the whole hand-off
-            # on the scalar core, overlapped with the next block's vector work.
-            for u in range(UNROLL):
-                j_out = t0 + u - p_max
-                ok = jnp.logical_and(j_out >= 1, j_out <= m)
-                idx = jnp.where(ok, j_out, m + 2)  # m+2 = write-off slot
-                b_ref[idx] = pendv_ref[u, 0]
-            return bjm1
+                    c0s, aux = substep(t, u, bv[u], bv[u + 1], c0s, aux,
+                                       a1_ref, a1s_ref, a0_ref, a0s_ref,
+                                       ramp=ramp)
+                if u % 8 == 7:
+                    # --- bottom row -> next boundary, batched per 8 steps
+                    # (the ring is 8 deep: flush before slots recycle).
+                    # pendv[uu%8] is the lane-rolled tail row of step t0+uu,
+                    # so its lane 0 holds slot (nr-1, 127) = the strip's
+                    # bottom-row value.  Scalar VMEM reads + branchless
+                    # dump-slot stores keep the hand-off on the scalar core,
+                    # overlapped with the next steps' vector work.
+                    for uu in range(u - 7, u + 1):
+                        j_out = t0 + uu - p_max
+                        ok = jnp.logical_and(j_out >= 1, j_out <= m)
+                        idx = jnp.where(ok, j_out, m + 2)  # write-off slot
+                        b_ref[idx] = pendv_ref[uu % 8, 0]
+            return c0s, aux
 
-        def block_ramp(tt, bjm1):
-            return block_impl(tt, bjm1, True)
+        def block_ramp(tt, c):
+            return block_impl(tt, c, True)
 
-        def block_steady(tt, bjm1):
-            return block_impl(tt, bjm1, False)
+        def block_steady(tt, c):
+            return block_impl(tt, c, False)
 
         # head injections only happen while t <= max phase: split the sweep
-        # so the steady-state blocks skip the injection select (and SW's
-        # redundant `phase < t` compare) entirely
-        t_head = min(t_steps, _round_up(p_max + 2, UNROLL))
-        bjm1 = jax.lax.fori_loop(
-            0, t_head // UNROLL, block_ramp, i0g, unroll=False
+        # so the steady-state blocks skip the injection select entirely
+        t_head = min(t_steps, _round_up(p_max + 2, unroll))
+        carry = jax.lax.fori_loop(
+            0, t_head // unroll, block_ramp, (i0g, aux_in), unroll=False
         )
-        jax.lax.fori_loop(
-            t_head // UNROLL, t_steps // UNROLL, block_steady, bjm1,
+        carry = jax.lax.fori_loop(
+            t_head // unroll, t_steps // unroll, block_steady, carry,
             unroll=False,
         )
-        return 0
+        return carry[1]
 
-    jax.lax.fori_loop(0, n_strips, strip, 0, unroll=False)
+    aux0 = vdt(0) if local else vdt(NEG_INF)
+    aux_out = jax.lax.fori_loop(
+        0, n_strips, lambda s, a: strip(s, a), aux0, unroll=False
+    )
 
     if local:
-        out_ref[0, 0] = jnp.maximum(jnp.max(v_ref[:]), 0)
+        out_ref[0, 0] = jnp.maximum(
+            jnp.maximum(jnp.max(v_ref[:]), aux_out), vdt(0)
+        )
+    elif k_star == 0:
+        out_ref[0, 0] = aux_out
     else:
         out_ref[0, 0] = jnp.sum(
-            jnp.where(snap_mask, snap_ref[:], 0), dtype=jnp.int32
+            jnp.where(snap_mask, snap_ref[:], vdt(0)), dtype=vdt
         )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "m", "nr", "cfg", "interpret")
+    jax.jit,
+    static_argnames=("n", "m", "nr", "cfg", "use_f32", "unroll", "interpret"),
 )
 def _band_call(
     s1_packed: jax.Array,
@@ -285,8 +380,11 @@ def _band_call(
     m: int,
     nr: int,
     cfg: ScoringConfig,
+    use_f32: bool,
+    unroll: int,
     interpret: bool,
 ) -> jax.Array:
+    vdt = jnp.float32 if use_f32 else jnp.int32
     R = nr * LANES
     n_strips = -(-n // R)
     # full strips must drain through phase(R-1); a lone strip only through
@@ -297,18 +395,20 @@ def _band_call(
     else:
         k_last = R - 1
     p_need = (k_last % nr) + (k_last // nr) * (nr + 2)
-    t_steps = _round_up(m + p_need + 132, UNROLL)
+    t_steps = _round_up(m + p_need + 132, unroll)
     kernel = functools.partial(
-        _band_kernel_body, n, m, nr, n_strips, t_steps, cfg
+        _band_kernel_body, n, m, nr, n_strips, t_steps, unroll, cfg, vdt
     )
-    scratch = [pltpu.VMEM((nr, LANES), jnp.int32) for _ in range(6)]
-    scratch.append(pltpu.VMEM((8, LANES), jnp.int32))  # snapshot tile
-    scratch.append(pltpu.VMEM((8, LANES), jnp.int32))  # pendv ring
+    scratch = [pltpu.VMEM((nr, LANES), vdt) for _ in range(4)]
+    scratch.append(pltpu.VMEM((nr, LANES), jnp.int32))  # char window
+    scratch.append(pltpu.VMEM((nr, LANES), vdt))  # SW running max
+    scratch.append(pltpu.VMEM((8, LANES), vdt))  # snapshot tile
+    scratch.append(pltpu.VMEM((8, LANES), vdt))  # pendv ring
     scratch.append(pltpu.VMEM((8, LANES), jnp.int32))  # pendw ring
-    scratch.append(pltpu.SMEM((m + 3,), jnp.int32))  # boundary + dump slot
+    scratch.append(pltpu.SMEM((m + 3,), vdt))  # boundary + dump slot
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, 1), vdt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -318,7 +418,7 @@ def _band_call(
         scratch_shapes=scratch,
         interpret=interpret,
     )(s1_packed, s2tops, s2cm)
-    return out[0, 0]
+    return out[0, 0].astype(jnp.int32)
 
 
 def _pack4(s1: jax.Array, m: int) -> jax.Array:
@@ -335,12 +435,14 @@ def _pack4(s1: jax.Array, m: int) -> jax.Array:
 def _colmajor(s2: jax.Array, n: int, nr: int) -> jax.Array:
     """Strip chars, column-major: out[s*nr + r, c] = s2[s*R + c*nr + r].
 
-    Pad char 0 never matches (codes are 1..4) and padded rows sit below every
-    live row, so their garbage never flows upward (deps go down/right only).
+    Pad rows carry :data:`PAD_CHAR`, which matches neither live codes 1..4
+    nor the post-text sentinel 0 — pad cells only decay, which is what lets
+    the SW running max run unmasked.  Pad rows sit below every live row, so
+    their garbage never flows upward (deps go down/right only).
     """
     R = nr * LANES
     n_strips = -(-n // R)
-    pad = jnp.zeros((n_strips * R,), jnp.int32)
+    pad = jnp.full((n_strips * R,), PAD_CHAR, jnp.int32)
     pad = jax.lax.dynamic_update_slice(pad, s2.astype(jnp.int32), (0,))
     return (
         pad.reshape(n_strips, LANES, nr)
@@ -353,6 +455,13 @@ def _check_cfg(cfg: ScoringConfig, total: int) -> None:
     drift = total * max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
     if drift > 2**29:
         raise ValueError("scoring magnitudes too large for int32 headroom")
+
+
+def _wants_f32(cfg: ScoringConfig, m: int, n: int) -> bool:
+    """True when every value the kernel can produce is a 24-bit-exact
+    integer in float32 (score paths bounded by (m+n+2) * wmax)."""
+    wmax = max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
+    return (m + n + 2) * wmax < F32_EXACT
 
 
 def _orient(m: int, n: int):
@@ -377,7 +486,8 @@ def score_fn(
     n: int,
     cfg: ScoringConfig = ScoringConfig(),
     *,
-    rows: int = 64,
+    rows: int = 112,
+    unroll: int = 16,
     interpret: bool = False,
 ):
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``
@@ -389,6 +499,7 @@ def score_fn(
     _check_cfg(cfg, m + n)
     mb, ns = _orient(m, n)
     swapped = mb != m  # boundary axis carries s2, strips carry s1
+    use_f32 = _wants_f32(cfg, m, n)
 
     R = rows * LANES
     n_strips = -(-ns // R)
@@ -408,6 +519,8 @@ def score_fn(
             mb,
             rows,
             cfg,
+            use_f32,
+            unroll,
             interpret,
         )
 
@@ -419,7 +532,7 @@ def score(
     s2,
     cfg: ScoringConfig = ScoringConfig(),
     *,
-    rows: int = 64,
+    rows: int = 112,
     interpret: bool = False,
 ) -> int:
     """Alignment score via the banded strip kernel (NW any params, SW).
