@@ -119,6 +119,9 @@ int64_t align_score_native(const int8_t* s1, int64_t m,
 // Full-table fill + traceback walk. Writes the edit path (from the END;
 // caller reverses) into ops_out as 0 = diag, 1 = up (gap in s1), 2 = left
 // (gap in s2); returns the path length and the score via score_out.
+// score_out[1], score_out[2] receive the path's START cell (i, j) — for
+// global mode always (0, 0); for local mode the cell where the walk
+// stopped, which callers need to render the matched substrings.
 // Tie order diag > up > left, SW start = row-major-first maximum cell and
 // stop at the first zero — byte-identical to ops/oracle.py:traceback.
 // Caller guarantees (m+1)*(n+1) cells fit memory and scores fit int32.
@@ -171,6 +174,8 @@ int64_t traceback_native(const int8_t* s1, int64_t m,
       return -1;  // broken table; caller falls back
     }
   }
+  score_out[1] = i;
+  score_out[2] = j;
   return len;
 }
 

@@ -167,8 +167,22 @@ def align(
         except ValueError:  # outside the bisection's scoring envelope
             pass
     if impl in ("band", "pallas"):
-        # band is a score-only engine; its alignment rides the checkpointed
-        # diagonal traceback exactly as pallas does
+        from .ops import band_align
+
+        # k-way band alignment: two capture fills + threaded native walks
+        # (global), or locate-and-window-walk (SW) — the fast path for
+        # every config outside the bit-parallel family (round-3)
+        try:
+            if scoring.is_local:
+                return band_align.align_local(
+                    s1, s2, scoring, interpret=engine.interpret
+                )
+            return band_align.align_global(
+                s1, s2, scoring, interpret=engine.interpret
+            )
+        except ValueError:  # outside the band envelope / masked SW config
+            pass
+        # fallback: checkpointed diagonal traceback
         from .ops import traceback_diag
 
         try:

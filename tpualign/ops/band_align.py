@@ -1,0 +1,725 @@
+"""Alignment recovery on the banded strip engine: k-way row splits for
+global scoring, locate-and-walk for Smith-Waterman.
+
+The round-2 framework aligned general-scoring/SW pairs through the
+checkpointed diagonal traceback (27 s for the 64gb SW pair) because the fast
+k-way Hirschberg was bit-parallel-only.  This module brings the same
+one-dispatch-many-splits idea (``hirschberg.py``'s k-way splitter) to the
+band engine, for **every** scoring config:
+
+Global (NW any params)
+----------------------
+A **single-strip kernel** (same schedule as ``band._band_kernel_body``, one
+strip per call, boundary row in/out) is scanned over the strip axis with
+``lax.scan``: the carry is the boundary row ``B = H(i0, :)``, and the scan's
+stacked outputs are **every strip-boundary row of H** — K full rows from ONE
+dispatch.  A second scan on the reversed pair (its first strip bottom-aligned
+via a dynamic first-live-slot, so its boundaries land on the same rows)
+yields the reverse rows; ``argmax_j F[s][j] + R[s][m-j]`` then gives K-1
+crossing points of the (leftmost) optimal path at once.  The K row-bands
+between crossings are independent full-table walks handed to the native C++
+traceback on a thread pool.  Wall: two band fills + one dispatch each + the
+threaded walks — against one ~25 ms round trip *per split* for a binary
+bisection.
+
+Local (SW)
+----------
+Three passes of the same kernel locate an optimal cell without storing
+anything dense: (1) the forward scan's per-strip running-max planes find the
+strip s* and row r* of the first maximum; (2) a bottom-aligned refill of
+rows ``s*R+1 .. i*`` re-derives ``H(i*, :)`` as its boundary output, whose
+argmax is j*; (3) the native local walk runs on a window ending at
+``(i*, j*)``, doubling the window until the recovered score matches the
+known maximum (sound: window DP values never exceed the true DP's, so
+equality certifies optimality).
+
+Reference parity: the reference computes no alignment for ANY config
+(``driver.cpp:35`` prints a score only); both paths here are framework
+capabilities beyond it.  Tie order matches ``hirschberg.align``'s contract:
+an optimal path, not necessarily the oracle's diag>up>left walk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ScoringConfig
+from .pallas_diag import LANES, _round_up
+from .band import (
+    NEG_INF,
+    PAD_CHAR,
+    _colmajor,
+    _lane_shift,
+    _pack4,
+    _phase_grid,
+    _shift1,
+    _wants_f32,
+    MAX_BOUNDARY,
+)
+from . import oracle
+
+#: leaf bands bigger than this fall back to a binary split before walking
+#: (native walk allocates (R+1)x(dx+1) int32)
+MAX_LEAF_CELLS = 1 << 28
+
+#: SW hits whose path bound stays under this take one native window walk;
+#: longer hits locate the path START too and run the global k-way recovery
+SW_WINDOW_LIMIT = 2048
+
+
+def _strip_kernel_body(
+    m: int,
+    nr: int,
+    t_steps: int,
+    unroll: int,
+    cfg: ScoringConfig,
+    vdt,
+    interpret: bool,
+    # inputs
+    s1_ref,  # SMEM (words,) packed text
+    sc_ref,  # SMEM (4,) [i0, klo, s2_first, k_hi]: strip row offset,
+    #          first live slot (bottom-aligned partial strips), top live
+    #          row's char, one-past-last live slot
+    b_in_ref,  # VMEM (m + 3,) boundary row H(i0, :) — DMA'd into b_ref
+    #            (a second SMEM window would bust the 1 MB budget at
+    #            corpus m; only ONE boundary row fits)
+    s2cm_ref,  # VMEM (nr, LANES) this strip's chars, column-major
+    # outputs
+    b_ref,  # SMEM (m + 3,) boundary row out (also the working buffer)
+    vmax_ref,  # SMEM (1, 1) strip's running max (SW)
+    v_ref,  # VMEM (nr, LANES) per-slot running max (SW)
+    # scratch
+    a0_ref,
+    a0s_ref,
+    a1_ref,
+    a1s_ref,
+    w_ref,
+    pendv_ref,
+    pendw_ref,
+    dma_sem,
+):
+    match = vdt(cfg.match)
+    mismatch = vdt(cfg.mismatch)
+    g = vdt(cfg.gap)
+    local = cfg.is_local
+    phase, k_flat = _phase_grid(nr)
+    lane_is0 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
+    neg = jnp.full((nr, LANES), NEG_INF, vdt)
+    p_max = (nr - 1) + (LANES - 1) * (nr + 2)
+
+    i0 = sc_ref[0]
+    klo = sc_ref[1]  # first live slot; rows i0+1+(k-klo) live in k >= klo
+    s2_first = sc_ref[2]
+    k_hi = sc_ref[3]  # one past the last live slot (rows beyond the query)
+    i0g = vdt(0) if local else i0.astype(vdt) * g
+
+    # head values: H(i0 + 1 + (k - klo), 0); dead slots (k < klo) stay NEG
+    if local:
+        head_vals = jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
+    else:
+        head_vals = jnp.where(
+            k_flat >= klo,
+            (i0 + 1 - klo).astype(vdt) * g + k_flat.astype(vdt) * g,
+            vdt(NEG_INF),
+        )
+    cand_slot = k_flat == klo  # the top live row consumes the boundary
+    # the top live row runs staggered: at step t it computes column
+    # j = t - phase(klo), so its boundary reads are B[j-1], B[j]
+    p_klo = (klo % nr) + (klo // nr) * (nr + 2)
+
+    if interpret:  # no DMA emulation needed: plain element copy
+        def binit(j, _):
+            b_ref[j] = b_in_ref[j]
+            return 0
+
+        jax.lax.fori_loop(0, m + 3, binit, 0, unroll=False)
+    else:
+        cp = pltpu.make_async_copy(b_in_ref, b_ref, dma_sem)
+        cp.start()
+        cp.wait()
+    a0_ref[:] = neg
+    a0s_ref[:] = neg
+    a1_ref[:] = neg
+    a1s_ref[:] = neg
+    w_ref[:] = jnp.zeros((nr, LANES), jnp.int32)
+    pendv_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
+    pendw_ref[:] = jnp.zeros((8, LANES), jnp.int32)
+    if local:
+        v_ref[:] = jnp.zeros((nr, LANES), vdt)
+
+    s2cm = s2cm_ref[:]
+
+    def substep(t, u, bjm1, bj, a_ref, as_ref, oa_ref, oas_ref, ramp):
+        idx = jnp.clip(t - 1, 0, m - 1)
+        ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+        ch = jnp.where(t - 1 < m, ch, 6)  # post-text sentinel
+        w_row0 = jnp.where(
+            lane_is0, ch, pendw_ref[(u - 3) % 8 : (u - 3) % 8 + 1, :]
+        )
+        w_new = _shift1(w_row0, w_ref[:], nr)
+        w_ref[:] = w_new
+        sub = jnp.where(s2cm == w_new, match, mismatch)
+        # top live row's boundary candidate, merged plane-wide (the slot is
+        # dynamic here — bottom-aligned strips — so no scalar-row shortcut)
+        j_top = t - p_klo  # the top live row's column this step
+        idx0 = jnp.clip(j_top - 1, 0, m - 1)
+        ch0 = (s1_ref[idx0 >> 3] >> ((idx0 & 7) << 2)) & 15
+        sub0 = jnp.where(s2_first == ch0, match, mismatch)
+        cand = jnp.maximum(bjm1 + sub0, bj + g)
+        # live window only: outside it the boundary reads are clipped or
+        # stale and would fabricate values above the top row's true max,
+        # corrupting the per-slot max plane the SW locate pass reads
+        cand = jnp.where((j_top >= 1) & (j_top <= m), cand, vdt(NEG_INF))
+        new = jnp.maximum(
+            oas_ref[:] + sub, jnp.maximum(a_ref[:], as_ref[:]) + g
+        )
+        new = jnp.maximum(new, jnp.where(cand_slot, cand, vdt(NEG_INF)))
+        if local:
+            new = jnp.maximum(new, vdt(0))
+        if ramp:
+            new = jnp.where(phase == t, head_vals, new)
+        if local:
+            # fully masked fold: the locate pass reads PER-SLOT maxes, so
+            # even decayed-but-positive pad/dead/pre-start values (which the
+            # score kernel's global max tolerates) must stay out
+            live = (
+                (phase <= t)
+                & (t - phase <= m)
+                & (k_flat >= klo)
+                & (k_flat < k_hi)
+            )
+            v_ref[:] = jnp.maximum(
+                v_ref[:], jnp.where(live, new, vdt(NEG_INF))
+            )
+        oa_ref[:] = new
+        v_row0 = jnp.where(
+            lane_is0,
+            vdt(NEG_INF),
+            pendv_ref[(u - 2) % 8 : (u - 2) % 8 + 1, :],
+        )
+        oas_ref[:] = _shift1(v_row0, new, nr)
+        tail = new[nr - 1 : nr, :]
+        pendv_ref[u % 8 : u % 8 + 1, :] = _lane_shift(tail)
+        pendw_ref[u % 8 : u % 8 + 1, :] = _lane_shift(w_new[nr - 1 : nr, :])
+
+    def block_impl(tt, c, ramp):
+        t0 = tt * unroll
+        # boundary reads for the (staggered) top live row: B[j_top-1..];
+        # writes trail the read cursor by p_max - p_klo >= the live rows'
+        # phase span, so per-block early reads stay safe (callers keep
+        # live counts >= LANES)
+        bv = []
+        for u in range(-1, unroll):
+            jt = t0 + u - p_klo
+            b = b_ref[jnp.clip(jt, 0, m)]
+            bv.append(jnp.where(jt == 0, i0g, b))
+        for u in range(unroll):
+            t = t0 + u
+            refs = (a0_ref, a0s_ref, a1_ref, a1s_ref)
+            if u % 2 == 1:
+                refs = (a1_ref, a1s_ref, a0_ref, a0s_ref)
+            substep(t, u, bv[u], bv[u + 1], *refs, ramp)
+            if u % 8 == 7:
+                for uu in range(u - 7, u + 1):
+                    j_out = t0 + uu - p_max
+                    ok = jnp.logical_and(j_out >= 1, j_out <= m)
+                    idx = jnp.where(ok, j_out, m + 2)
+                    b_ref[idx] = pendv_ref[uu % 8, 0]
+        return c
+
+    t_head = min(t_steps, _round_up(p_max + 2, unroll))
+    jax.lax.fori_loop(
+        0, t_head // unroll, lambda tt, c: block_impl(tt, c, True), 0,
+        unroll=False,
+    )
+    jax.lax.fori_loop(
+        t_head // unroll, t_steps // unroll,
+        lambda tt, c: block_impl(tt, c, False), 0, unroll=False,
+    )
+    # H(i0, 0..) of the NEXT strip boundary includes column 0: H(i0+R, 0)
+    nxt = i0 + (nr * LANES - klo)
+    b_ref[0] = vdt(0) if local else nxt.astype(vdt) * g
+    if local:
+        vmax_ref[0, 0] = jnp.max(v_ref[:])
+    else:
+        vmax_ref[0, 0] = vdt(0)
+        v_ref[:] = neg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "nr", "cfg", "use_f32", "interpret")
+)
+def _strip_scan(
+    s1p: jax.Array,  # (words,) packed text
+    s2cm_all: jax.Array,  # (K * nr, LANES) strip chars
+    scs: jax.Array,  # (K, 3) [i0, klo, s2_first] per strip
+    b0: jax.Array,  # (m + 3,) initial boundary row
+    m: int,
+    nr: int,
+    cfg: ScoringConfig,
+    use_f32: bool,
+    interpret: bool,
+):
+    """Scan the single-strip kernel over K strips; returns the stacked
+    boundary rows (K, m+3), per-strip vmax (K,), per-slot max planes."""
+    vdt = jnp.float32 if use_f32 else jnp.int32
+    p_max = (nr - 1) + (LANES - 1) * (nr + 2)
+    unroll = 16
+    t_steps = _round_up(m + p_max + 132, unroll)
+    kernel = functools.partial(
+        _strip_kernel_body, m, nr, t_steps, unroll, cfg, vdt, interpret
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m + 3,), vdt),
+            jax.ShapeDtypeStruct((1, 1), vdt),
+            jax.ShapeDtypeStruct((nr, LANES), vdt),
+        ),
+        # b_in arrives in VMEM and is DMA'd into the SMEM working window:
+        # SMEM (1 MB) holds exactly one corpus-size boundary row
+        in_specs=[smem, smem, vmem, vmem],
+        out_specs=(smem, smem, vmem),
+        scratch_shapes=(
+            [pltpu.VMEM((nr, LANES), vdt) for _ in range(4)]
+            + [
+                pltpu.VMEM((nr, LANES), jnp.int32),
+                pltpu.VMEM((8, LANES), vdt),
+                pltpu.VMEM((8, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        ),
+        interpret=interpret,
+    )
+    K = scs.shape[0]
+
+    def step(b, xs):
+        sc, s2cm_s = xs
+        b_out, vmax, vplane = call(s1p, sc, b.astype(vdt), s2cm_s)
+        return b_out, (b_out, vmax[0, 0], vplane)
+
+    s2cm_strips = s2cm_all.reshape(K, nr, LANES)
+    _, (bs, vmaxs, vplanes) = jax.lax.scan(
+        step, b0.astype(vdt), (scs, s2cm_strips)
+    )
+    return bs, vmaxs, vplanes
+
+
+def _plan_strips(n: int, R: int, bottom_align: bool):
+    """Per-strip (i0, klo, row_count).  ``bottom_align`` puts the partial
+    strip FIRST (live rows at the bottom of the slot range) so boundaries
+    land on rows ``n - s*R`` — used by the reverse fill."""
+    out = []
+    if bottom_align:
+        r0 = n % R or R
+        out.append((0, R - r0))
+        i0 = r0
+        while i0 < n:
+            out.append((i0, 0))
+            i0 += R
+    else:
+        i0 = 0
+        while i0 < n:
+            out.append((i0, 0))
+            i0 += R
+    return out
+
+
+def _fill(s1, s2, cfg, rows, *, bottom_align=False, interpret=False):
+    """One band fill; returns (boundary rows (K, m+3) np, vmaxs, vplanes,
+    strip plan).  Strips cover s2; boundary axis is s1."""
+    m, n = int(s1.shape[0]), int(s2.shape[0])
+    R = rows * LANES
+    plan = _plan_strips(n, R, bottom_align)
+    K = len(plan)
+    use_f32 = _wants_f32(cfg, m, n)
+    vdt = jnp.float32 if use_f32 else jnp.int32
+
+    s1j = jnp.asarray(s1, jnp.int32)
+    s2j = jnp.asarray(s2, jnp.int32)
+    s1p = _pack4(s1j, m)
+    # chars per strip, honoring bottom alignment of the first strip
+    cm = jnp.full((K * R,), PAD_CHAR, jnp.int32)
+    if bottom_align:
+        r0 = n % R or R
+        cm = jax.lax.dynamic_update_slice(
+            cm, s2j[: r0].astype(jnp.int32), (R - r0,)
+        )
+        if n > r0:
+            cm = jax.lax.dynamic_update_slice(
+                cm, s2j[r0:].astype(jnp.int32), (R,)
+            )
+    else:
+        cm = jax.lax.dynamic_update_slice(cm, s2j.astype(jnp.int32), (0,))
+    s2cm_all = (
+        cm.reshape(K, LANES, rows).transpose(0, 2, 1).reshape(K * rows, LANES)
+    )
+    scs = np.zeros((K, 4), np.int32)
+    for s, (i0, klo) in enumerate(plan):
+        scs[s, 0] = i0
+        scs[s, 1] = klo
+        scs[s, 2] = int(np.asarray(s2)[i0]) if i0 < n else PAD_CHAR
+        scs[s, 3] = klo + min(n - i0, R - klo)
+    if cfg.is_local:
+        b0 = jnp.zeros((m + 3,), vdt)
+    else:
+        b0 = (jnp.arange(m + 3, dtype=jnp.int32) * cfg.gap).astype(vdt)
+    bs, vmaxs, vplanes = _strip_scan(
+        s1p, s2cm_all, jnp.asarray(scs), b0, m, rows, cfg, use_f32,
+        interpret,
+    )
+    return (
+        np.asarray(bs),
+        np.asarray(vmaxs),
+        np.asarray(vplanes),
+        plan,
+    )
+
+
+def _leaf_walks(jobs, s1, s2, cfg):
+    """Threaded native/oracle full-table walks over (ta, tb, qa, qb) bands;
+    returns the concatenated alignment strings in path order.  Bands whose
+    table exceeds :data:`MAX_LEAF_CELLS` are recursively median-split on
+    the device before walking."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..utils import native
+
+    use_native = native.available() and not cfg.is_local
+
+    def leaf(ta, tb, qa, qb):
+        text, query = s1[ta:tb], s2[qa:qb]
+        cells = (tb - ta + 1) * (qb - qa + 1)
+        if cells > MAX_LEAF_CELLS and qb - qa >= 2 and tb - ta >= 2:
+            _, a1, a2 = _binary_walk(text, query, cfg)
+            return None, a1, a2
+        if use_native:
+            try:
+                return native.traceback(text, query, cfg)
+            except RuntimeError:
+                pass
+        return oracle.traceback(text, query, cfg)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(leaf, *j) for j in jobs]
+        results = [f.result() for f in futs]
+    a1 = "".join(r[1] for r in results)
+    a2 = "".join(r[2] for r in results)
+    return a1, a2
+
+
+def align_global(
+    s1,
+    s2,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    rows: int = 32,
+    interpret: bool = False,
+) -> Tuple[int, str, str]:
+    """Global alignment via k-way band row splits (any scoring params).
+
+    Two band fills (forward + reverse, one device dispatch each) produce H
+    rows at every strip boundary; crossings of the leftmost optimal path
+    drop out of ``argmax(F + R)`` per row, and the row bands between them
+    are walked by the native C++ traceback in parallel.
+    """
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+    m, n = s1.size, s2.size
+    if m == 0 or n == 0 or (m + 1) * (n + 1) <= (1 << 22):
+        from ..utils import native
+
+        if m and n and native.available():
+            try:
+                return native.traceback(s1, s2, cfg)
+            except RuntimeError:
+                pass
+        return oracle.traceback(s1, s2, cfg)
+    if m > MAX_BOUNDARY:
+        if n > MAX_BOUNDARY:
+            raise ValueError("pair exceeds the boundary-row envelope")
+        sc, x, y = align_global(
+            s2, s1, cfg, rows=rows, interpret=interpret
+        )
+        return sc, y, x
+    R = rows * LANES
+    if n <= 2 * R:  # a couple of strips: just walk it (binary split first
+        # keeps the native table under MAX_LEAF_CELLS)
+        return _binary_walk(s1, s2, cfg)
+
+    f_bs, _, _, f_plan = _fill(s1, s2, cfg, rows, interpret=interpret)
+    r_bs, _, _, r_plan = _fill(
+        s1[::-1].copy(), s2[::-1].copy(), cfg, rows, bottom_align=True,
+        interpret=interpret,
+    )
+    # forward boundaries: rows R, 2R, ... (strip s's output = row (s+1)R);
+    # reverse boundaries: reverse rows r0, r0+R, ... = original n-r0-sR,
+    # which are the SAME rows by construction of the bottom-aligned plan
+    K = len(f_plan)
+    rows_f = [f_plan[s][0] + (R - f_plan[s][1]) for s in range(K)]
+    crossings: List[Tuple[int, int]] = [(0, 0)]
+    total = None
+    for s in range(K - 1):
+        i_row = rows_f[s]
+        F = f_bs[s][: m + 1].astype(np.int64)
+        # reverse row for original row i: reverse fill boundary at
+        # rev-row n - i; find its index in the reverse plan
+        rr = n - i_row
+        r_rows = [r_plan[t][0] + (R - r_plan[t][1]) for t in range(K)]
+        ri = r_rows.index(rr)
+        Rv = r_bs[ri][: m + 1].astype(np.int64)
+        tot = F + Rv[::-1]
+        x = int(np.argmax(tot))
+        if total is None:
+            total = int(tot[x])
+        elif int(tot[x]) != total:
+            raise ValueError("inconsistent k-way split totals")
+        crossings.append((i_row, x))
+    crossings.append((n, m))
+    jobs = []
+    for (qa, ta), (qb, tb) in zip(crossings, crossings[1:]):
+        if tb < ta or qb < qa:
+            raise ValueError("non-monotone k-way crossings")
+        jobs.append((ta, tb, qa, qb))
+    a1, a2 = _leaf_walks(jobs, s1, s2, cfg)
+    score = oracle.alignment_score(a1, a2, cfg)
+    if total is not None and score != total:
+        raise ValueError(
+            f"k-way alignment score {score} != fill total {total}"
+        )
+    return score, a1, a2
+
+
+def _binary_walk(s1, s2, cfg) -> Tuple[int, str, str]:
+    """Median row split via two bottom-aligned fills (their LAST boundary
+    row always lands exactly on the median), then native walks — used when
+    the strip count is too small for a k-way gain but the table is too big
+    for one native allocation."""
+    m, n = s1.size, s2.size
+    mid = n // 2
+    rows = max(8, min(112, _round_up(max(1, mid // LANES), 8)))
+    f_bs, _, _, _ = _fill(s1, s2[:mid], cfg, rows, bottom_align=True)
+    r_bs, _, _, _ = _fill(
+        s1[::-1].copy(), s2[mid:][::-1].copy(), cfg, rows, bottom_align=True
+    )
+    F = f_bs[-1][: m + 1].astype(np.int64)
+    Rv = r_bs[-1][: m + 1].astype(np.int64)
+    tot = F + Rv[::-1]
+    x = int(np.argmax(tot))
+    a1, a2 = _leaf_walks(
+        [(0, x, 0, mid), (x, m, mid, n)], s1, s2, cfg
+    )
+    return oracle.alignment_score(a1, a2, cfg), a1, a2
+
+
+def _locate_end_impl(s1, s2, cfg, *, rows, interpret):
+    m, n = s1.size, s2.size
+    f_bs, vmaxs, vplanes, plan = _fill(
+        s1, s2, cfg, rows, interpret=interpret
+    )
+    vmax = int(vmaxs.max())
+    if vmax <= 0:
+        return 0, 0, 0
+    s_star = int(vmaxs.argmax())
+    # row within the strip: slot (r, c) is DP row i0 + 1 + c*rows + r
+    vplane = vplanes[s_star]
+    r, c = np.unravel_index(int(vplane.argmax()), vplane.shape)
+    i0 = plan[s_star][0]
+    i_star = i0 + 1 + int(c) * rows + int(r)
+    # pass 3: bottom-aligned refill of rows i0+1 .. i_star gives H(i_star, :)
+    r0 = i_star - i0
+    b_in = np.zeros(m + 3, np.int64)
+    if s_star > 0:
+        b_in[: m + 1] = f_bs[s_star - 1][: m + 1].astype(np.int64)
+    if r0 < LANES:  # tiny refill: vectorized host row scan
+        row = _rowscan_np(b_in[: m + 1], s1, s2[i0:i_star], cfg)
+    else:
+        sub_rows = max(8, min(rows, _round_up(-(-r0 // LANES), 8)))
+        h_bs, _, _, _ = _fill_from(
+            s1, s2[i0:i_star], cfg, sub_rows, b_in,
+            use_f32=_wants_f32(cfg, m, n), interpret=interpret,
+        )
+        row = h_bs[-1][: m + 1].astype(np.int64)
+    j_star = int(row.argmax())
+    if int(row[j_star]) != vmax:
+        raise ValueError(
+            f"SW locate: row max {int(row[j_star])} != vmax {vmax}"
+        )
+    return i_star, j_star, vmax
+
+
+def align_local(
+    s1,
+    s2,
+    cfg: ScoringConfig,
+    *,
+    rows: int = 112,
+    interpret: bool = False,
+) -> Tuple[int, str, str]:
+    """Smith-Waterman alignment: locate an optimal cell with band fills,
+    then recover the path.
+
+    Short hits (path bound below :data:`SW_WINDOW_LIMIT`) walk a native
+    window ending at the located cell.  Long hits — e.g. the benchmark
+    corpus pairs, whose local alignments span almost the whole sequences —
+    locate the path's START by running the same passes on the reversed
+    pair, then hand the sub-rectangle to :func:`align_global`'s k-way
+    machinery: the optimal local path is exactly an optimal GLOBAL path of
+    the matched substrings (a global path dipping below zero would yield a
+    strictly better local alignment, contradiction), so the global k-way
+    walk reproduces it at device speed regardless of path length.
+
+    Returns local alignment strings of the matched substrings, like
+    ``oracle.traceback`` in local mode (optimal path; tie order may differ
+    from the oracle's row-major-first convention).
+    """
+    if not cfg.is_local:
+        raise ValueError("align_local requires a local (SW) config")
+    if cfg.mismatch > 0 or cfg.gap > 0:
+        raise ValueError(
+            "positive mismatch/gap local configs use the masked engine; "
+            "take the checkpointed traceback path"
+        )
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+    m, n = s1.size, s2.size
+    if m == 0 or n == 0 or (m + 1) * (n + 1) <= (1 << 22):
+        return oracle.traceback(s1, s2, cfg)
+    if m > MAX_BOUNDARY:
+        if n > MAX_BOUNDARY:
+            raise ValueError("pair exceeds the boundary-row envelope")
+        sc, x, y = align_local(s2, s1, cfg, rows=rows, interpret=interpret)
+        return sc, y, x
+
+    i_star, j_star, vmax = _locate_end(
+        s1, s2, cfg, rows=rows, interpret=interpret
+    )
+    if vmax == 0:
+        return 0, "", ""
+    # path length along either axis is at most vmax / unit_drop steps plus
+    # the scoring slack; cheap hits take one native window walk
+    if vmax <= SW_WINDOW_LIMIT * max(cfg.match, 1):
+        from ..utils import native
+
+        L = SW_WINDOW_LIMIT
+        while True:
+            ia = max(0, i_star - L)
+            ja = max(0, j_star - L)
+            text, query = s1[ja:j_star], s2[ia:i_star]
+            sc = None
+            if native.available():
+                try:
+                    sc, a1, a2 = native.traceback(text, query, cfg)
+                except RuntimeError:
+                    sc = None
+            if sc is None:
+                sc, a1, a2 = oracle.traceback(text, query, cfg)
+            if sc == vmax:
+                return sc, a1, a2
+            if ia == 0 and ja == 0:
+                raise ValueError(
+                    f"windowed SW walk found {sc}, expected {vmax}"
+                )
+            L *= 4
+
+    # long hit: locate the START via the reversed problem (the same
+    # optimal path, reversed, ends where ours starts), then recover the
+    # path as a global alignment of the substrings
+    ir, jr, vmax_r = _locate_end(
+        s1[::-1].copy(), s2[::-1].copy(), cfg, rows=rows,
+        interpret=interpret,
+    )
+    if vmax_r != vmax:
+        raise ValueError(f"reverse locate max {vmax_r} != {vmax}")
+    i_s, j_s = n - ir, m - jr
+    if i_s >= i_star or j_s >= j_star:
+        raise ValueError("reverse locate crossed the forward end cell")
+    gcfg = ScoringConfig(
+        match=cfg.match, mismatch=cfg.mismatch, gap=cfg.gap
+    )
+    sc, a1, a2 = align_global(
+        s1[j_s:j_star], s2[i_s:i_star], gcfg, interpret=interpret
+    )
+    if sc != vmax:
+        # forward end and reverse start belonged to different co-optimal
+        # paths; the caller falls back to the checkpointed traceback
+        raise ValueError(
+            f"SW substring global score {sc} != vmax {vmax} (tie split)"
+        )
+    return sc, a1, a2
+
+
+def _locate_end(s1, s2, cfg, *, rows, interpret):
+    """Three band passes that find an optimal SW cell: (i*, j*, vmax)."""
+    return _locate_end_impl(s1, s2, cfg, rows=rows, interpret=interpret)
+
+
+def _rowscan_np(b_row, s1, s2_seg, cfg):
+    """Vectorized NumPy row scan from a given boundary row (the left-dep
+    resolves to a running max of ``cand_j - j*gap``); used for refills too
+    small to be worth a device dispatch."""
+    m = s1.size
+    g = cfg.gap
+    jg = np.arange(m + 1, dtype=np.int64) * g
+    row = b_row.astype(np.int64).copy()
+    for i in range(s2_seg.size):
+        eq = np.where(s1 == s2_seg[i], cfg.match, cfg.mismatch)
+        cand = np.empty(m + 1, np.int64)
+        cand[0] = 0 if cfg.is_local else row[0] + g
+        cand[1:] = np.maximum(row[:-1] + eq, row[1:] + g)
+        if cfg.is_local:
+            cand = np.maximum(cand, 0)
+        # left propagation: new[j] = max_k<=j (cand[k] + (j-k)*g)
+        row = np.maximum.accumulate(cand - jg) + jg
+        if cfg.is_local:
+            row = np.maximum(row, 0)
+    return row
+
+
+def _fill_from(s1, s2_seg, cfg, rows, b_in, *, use_f32, interpret=False):
+    """Band fill of a row segment starting from a given boundary row —
+    bottom-aligned so the LAST boundary output is exactly the segment's
+    final row.  Used by the SW locate pass.  ``use_f32`` must reflect the
+    PARENT problem's value bound (``b_in`` carries its magnitudes)."""
+    m = int(s1.shape[0])
+    nseg = int(s2_seg.shape[0])
+    vdt = jnp.float32 if use_f32 else jnp.int32
+    R = rows * LANES
+    plan = _plan_strips(nseg, R, bottom_align=True)
+    K = len(plan)
+    s1j = jnp.asarray(s1, jnp.int32)
+    s2j = jnp.asarray(s2_seg, jnp.int32)
+    s1p = _pack4(s1j, m)
+    r0 = nseg % R or R
+    cm = jnp.full((K * R,), PAD_CHAR, jnp.int32)
+    cm = jax.lax.dynamic_update_slice(
+        cm, s2j[:r0].astype(jnp.int32), (R - r0,)
+    )
+    if nseg > r0:
+        cm = jax.lax.dynamic_update_slice(
+            cm, s2j[r0:].astype(jnp.int32), (R,)
+        )
+    s2cm_all = (
+        cm.reshape(K, LANES, rows).transpose(0, 2, 1).reshape(K * rows, LANES)
+    )
+    scs = np.zeros((K, 4), np.int32)
+    for s, (i0, klo) in enumerate(plan):
+        scs[s, 0] = i0
+        scs[s, 1] = klo
+        scs[s, 2] = int(np.asarray(s2_seg)[i0])
+        scs[s, 3] = klo + min(nseg - i0, R - klo)
+    b0 = jnp.asarray(b_in[: m + 3]).astype(vdt)
+    bs, vmaxs, vplanes = _strip_scan(
+        s1p, s2cm_all, jnp.asarray(scs), b0, m, rows, cfg, use_f32,
+        interpret,
+    )
+    return np.asarray(bs), np.asarray(vmaxs), np.asarray(vplanes), plan

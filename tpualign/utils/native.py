@@ -108,35 +108,34 @@ def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
 
 
 def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
-    """Full-table global traceback in C++ — byte-identical output to
-    ``ops.oracle.traceback`` for NW (same diag>up>left tie order), ~50x
-    faster (the per-cell Python walk dominates the NumPy version).  Returns
-    ``(score, a1, a2)``; raises RuntimeError if the library is missing or
-    for SW mode (local walks stay on the oracle)."""
+    """Full-table traceback in C++ — byte-identical output to
+    ``ops.oracle.traceback`` (same diag>up>left tie order; SW starts at the
+    row-major-first maximum cell and stops at the first zero), ~50x faster
+    (the per-cell Python walk dominates the NumPy version).  Returns
+    ``(score, a1, a2)``; raises RuntimeError if the library is missing."""
     from ..config import ScoringConfig
 
     if cfg is None:
         cfg = ScoringConfig()
-    if cfg.is_local:
-        raise RuntimeError("native traceback supports global mode only")
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     s1 = np.ascontiguousarray(s1, dtype=np.int8)
     s2 = np.ascontiguousarray(s2, dtype=np.int8)
     ops = np.empty(max(1, s1.size + s2.size), dtype=np.int8)
-    score = np.zeros(1, dtype=np.int64)
+    score = np.zeros(3, dtype=np.int64)  # [score, start_i, start_j]
     ln = int(
         lib.traceback_native(
             s1, s1.size, s2, s2.size,
-            cfg.match, cfg.mismatch, cfg.gap, 0,
+            cfg.match, cfg.mismatch, cfg.gap, 1 if cfg.is_local else 0,
             score, ops,
         )
     )
     if ln < 0:
         raise RuntimeError("native traceback failed")
     ops = ops[:ln][::-1]  # 0 = diag, 1 = up (gap in s1), 2 = left (gap in s2)
-    # vectorized string rebuild: char code 0 renders as the gap symbol
+    # vectorized string rebuild: char code 0 renders as the gap symbol;
+    # local paths start mid-sequence at the returned start cell
     lut = np.frombuffer(b"-ATGC", dtype=np.uint8)
 
     def render(seq, take):
@@ -145,6 +144,6 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
         idx = np.maximum(np.cumsum(take) - 1, 0)
         return np.where(take, seq[idx], 0).astype(np.int64)
 
-    a1 = lut[render(s1, ops != 1)].tobytes().decode()
-    a2 = lut[render(s2, ops != 2)].tobytes().decode()
+    a1 = lut[render(s1[int(score[2]):], ops != 1)].tobytes().decode()
+    a2 = lut[render(s2[int(score[1]):], ops != 2)].tobytes().decode()
     return int(score[0]), a1, a2
