@@ -53,3 +53,39 @@ def test_recorded_bench_scores_match_reference_pins(tsv):
             assert int(row["score"]) == GOLDEN_NW_UNIT[name], (tsv, name)
             checked += 1
     assert checked >= 4
+
+
+@pytest.mark.parametrize(
+    "name,want",
+    sorted(
+        (k, v)
+        for k, v in __import__(
+            "tpualign.golden", fromlist=["GOLDEN_SW_2_1_2"]
+        ).GOLDEN_SW_2_1_2.items()
+        if k in ("small", "debug", "t", "smid")
+    ),
+)
+def test_golden_sw_scores(name, want):
+    """SW pins are self-pinned from the independent C++ scorer (the
+    reference has no SW); the tiny pairs re-verify end-to-end here."""
+    from tpualign.config import AlignMode, ScoringConfig
+
+    sw = ScoringConfig(match=2, mismatch=-1, gap=-2, mode=AlignMode.LOCAL)
+    s1 = read_bdna(os.path.join(CORPUS, f"{name}1.bdna"))
+    s2 = read_bdna(os.path.join(CORPUS, f"{name}2.bdna"))
+    assert oracle.score(s1, s2, sw) == want
+
+
+def test_recorded_sw_bench_scores_match_pins():
+    from tpualign.golden import GOLDEN_SW_2_1_2
+
+    path = os.path.join(RESULTS, "sizes-sw-v5e1.tsv")
+    if not os.path.exists(path):
+        pytest.skip("sizes-sw-v5e1.tsv not present")
+    rows = list(csv.DictReader(open(path), delimiter="\t"))
+    checked = 0
+    for row in rows:
+        if row["label"] in GOLDEN_SW_2_1_2:
+            assert int(row["score"]) == GOLDEN_SW_2_1_2[row["label"]]
+            checked += 1
+    assert checked >= 4

@@ -226,6 +226,20 @@ def align_score_batch(
             )
         except ValueError:  # outside the batch kernel envelope
             pass
+    if resolved in ("band", "bitpal") or (
+        engine.impl == "auto" and resolved == "xla"
+    ):
+        # non-family configs (incl. SW): batched band dispatch — each pair
+        # rides the strip kernel as one bottom-aligned strip (round-3)
+        from .ops import band_batch
+
+        try:
+            return band_batch.score_batch(
+                texts, queries, scoring,
+                interpret=engine.interpret or _platform() != "tpu",
+            )
+        except ValueError:  # outside the batch envelope
+            pass
     return np.asarray(
         [align_score(t, q, scoring, engine) for t, q in zip(texts, queries)]
     )

@@ -176,11 +176,18 @@ def _check_bench_score(name, s1, s2, scoring, score, mode: str):
     from .config import ScoringConfig
 
     if mode == "golden":
-        from .golden import GOLDEN_NW_UNIT
+        from .config import AlignMode
+        from .golden import GOLDEN_NW_UNIT, GOLDEN_SW_2_1_2
 
-        if scoring != ScoringConfig() or name not in GOLDEN_NW_UNIT:
+        sw_cfg = ScoringConfig(
+            match=2, mismatch=-1, gap=-2, mode=AlignMode.LOCAL
+        )
+        if scoring == ScoringConfig() and name in GOLDEN_NW_UNIT:
+            want = GOLDEN_NW_UNIT[name]
+        elif scoring == sw_cfg and name in GOLDEN_SW_2_1_2:
+            want = GOLDEN_SW_2_1_2[name]
+        else:
             return None  # no pin applies; row passes unchecked
-        want = GOLDEN_NW_UNIT[name]
     else:  # native
         from .utils import native
 

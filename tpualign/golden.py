@@ -29,3 +29,27 @@ GOLDEN_NW_UNIT = {
     "48gb": 64070,
     "64gb": 73888,
 }
+
+#: Smith-Waterman pins for the benchmark config (match=2, mismatch=-1,
+#: gap=-2, local).  SELF-PINNED: the reference never implements SW
+#: (README.md:2 announces it; no kernel exists), so these come from this
+#: repo's independent C++ scorer (``native/bdna_tools.cpp:align_score_native``
+#: — a plain int64 row scan sharing no code with the device engines),
+#: round-3, and exist so no SW number in ``results/`` rests only on the
+#: engine that produced it.
+GOLDEN_SW_2_1_2 = {
+    "small": 9,
+    "debug": 44,
+    "t": 25,
+    "smid": 9533,
+    "2gb": 21094,
+    "4gb": 30148,
+    "8gb": 42564,
+    "12gb": 52291,
+    "16gb": 59832,
+    "24gb": 73458,
+    "32gb": 84735,
+    "40gb": 93805,
+    "48gb": 104056,
+    "64gb": 119785,
+}

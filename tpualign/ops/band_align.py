@@ -254,21 +254,28 @@ def _strip_kernel_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "nr", "cfg", "use_f32", "interpret")
+    jax.jit,
+    static_argnames=("m", "nr", "cfg", "use_f32", "interpret", "chain_b"),
 )
 def _strip_scan(
-    s1p: jax.Array,  # (words,) packed text
+    s1p: jax.Array,  # (words,) packed text, or (K, words) when chain_b is
+    #                  False (independent per-step pairs — the serving path)
     s2cm_all: jax.Array,  # (K * nr, LANES) strip chars
-    scs: jax.Array,  # (K, 3) [i0, klo, s2_first] per strip
-    b0: jax.Array,  # (m + 3,) initial boundary row
+    scs: jax.Array,  # (K, 4) [i0, klo, s2_first, k_hi] per strip
+    b0: jax.Array,  # (m + 3,) initial boundary row, or (K, m + 3)
     m: int,
     nr: int,
     cfg: ScoringConfig,
     use_f32: bool,
     interpret: bool,
+    chain_b: bool = True,
 ):
     """Scan the single-strip kernel over K strips; returns the stacked
-    boundary rows (K, m+3), per-strip vmax (K,), per-slot max planes."""
+    boundary rows (K, m+3), per-strip vmax (K,), per-slot max planes.
+
+    ``chain_b=True`` carries the boundary row strip-to-strip (one DP table,
+    the alignment fills); ``chain_b=False`` feeds each step its own text and
+    boundary row (independent pairs — the batched serving path)."""
     vdt = jnp.float32 if use_f32 else jnp.int32
     p_max = (nr - 1) + (LANES - 1) * (nr + 2)
     unroll = 16
@@ -301,16 +308,26 @@ def _strip_scan(
         interpret=interpret,
     )
     K = scs.shape[0]
-
-    def step(b, xs):
-        sc, s2cm_s = xs
-        b_out, vmax, vplane = call(s1p, sc, b.astype(vdt), s2cm_s)
-        return b_out, (b_out, vmax[0, 0], vplane)
-
     s2cm_strips = s2cm_all.reshape(K, nr, LANES)
-    _, (bs, vmaxs, vplanes) = jax.lax.scan(
-        step, b0.astype(vdt), (scs, s2cm_strips)
-    )
+
+    if chain_b:
+        def step(b, xs):
+            sc, s2cm_s = xs
+            b_out, vmax, vplane = call(s1p, sc, b.astype(vdt), s2cm_s)
+            return b_out, (b_out, vmax[0, 0], vplane)
+
+        _, (bs, vmaxs, vplanes) = jax.lax.scan(
+            step, b0.astype(vdt), (scs, s2cm_strips)
+        )
+    else:
+        def step(_, xs):
+            s1p_s, sc, b_s, s2cm_s = xs
+            b_out, vmax, vplane = call(s1p_s, sc, b_s.astype(vdt), s2cm_s)
+            return 0, (b_out, vmax[0, 0], vplane)
+
+        _, (bs, vmaxs, vplanes) = jax.lax.scan(
+            step, 0, (s1p, scs, b0, s2cm_strips)
+        )
     return bs, vmaxs, vplanes
 
 
