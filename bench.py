@@ -37,6 +37,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from tpualign.bench.harness import time_device_fn
     from tpualign.config import ScoringConfig
     from tpualign.ops import bitpal, xla as xla_ops
 
@@ -53,40 +54,13 @@ def main() -> None:
 
     d1 = jnp.asarray(s1, jnp.int32)
     d2 = jnp.asarray(s2, jnp.int32)
-    score = int(fn(d1, d2).block_until_ready())  # compile + warmup
 
-    # Per-run time is measured by iterating the kernel K times inside ONE
-    # dispatch: host<->device round-trip latency (~30 ms through the axon
-    # tunnel) would otherwise dominate a ~25 ms kernel.  The scan carry
-    # perturbs the first input char of every iteration after the first, so
-    # no iteration can be CSEd or hoisted; iteration 0 computes the true
-    # score, which is checked against the golden value.
-    K = 12
-    sentinel = jnp.int32(-(2**30))
+    # One timing recipe for every surface (bench.py, the size sweeps, the
+    # large-scale runs): the harness's dispatch-floor-amortized in-dispatch
+    # iteration — see tpualign/bench/harness.py:time_device_fn.
+    r = time_device_fn(fn, (d1, d2), label="64gb", cells=cells)
 
-    @jax.jit
-    def fn_k(a, b):
-        def body(carry, _):
-            a2 = a.at[0].set(
-                jnp.where(carry == sentinel, a[0], (carry & 3) + 1)
-            )
-            s = fn(a2, b)
-            return s, s
-
-        _, scores = jax.lax.scan(body, sentinel, None, length=K)
-        return scores
-
-    scores = fn_k(d1, d2)
-    scores.block_until_ready()  # compile + warmup
-    assert int(scores[0]) == score
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn_k(d1, d2).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / K)
-
-    gcups = cells / best / 1e9
+    gcups = r.gcups_best
     print(
         json.dumps(
             {
@@ -94,8 +68,8 @@ def main() -> None:
                 "value": round(gcups, 2),
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
-                "wall_ms": round(best * 1e3, 1),
-                "score": score,
+                "wall_ms": round(r.wall_s_best * 1e3, 1),
+                "score": r.score,
                 "backend": jax.default_backend(),
             }
         )

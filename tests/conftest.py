@@ -9,6 +9,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the ambient env may pin a TPU
+# NOTE: the config-level re-pin below (not this env var) is what protects a
+# CPU run when the TPU tunnel relay is down — the site hook re-enables the
+# tunneled backend and the first jax.devices() would hang dialing it.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -60,7 +60,9 @@ def test_resolve_impl_sharded_gates(monkeypatch):
     sw = ScoringConfig(mode=AlignMode.LOCAL)
     big = 4096 * n_dev
     assert resolve_impl(EngineConfig(), unit, (big, big)) == "bitpal-strips"
-    assert resolve_impl(EngineConfig(), sw, (big, big)) == "strips"
+    # non-family sharded problems get the band kernel inside every shard
+    # (round 3 — the hybrid-vert successor), not the portable row scan
+    assert resolve_impl(EngineConfig(), sw, (big, big)) == "band-strips"
     # small problems stay single-chip
     assert resolve_impl(EngineConfig(), unit, (5000, 5000)) == "bitpal"
     assert resolve_impl(EngineConfig(), sw, (5000, 5000)) == "band"

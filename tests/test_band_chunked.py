@@ -1,0 +1,70 @@
+"""Column-block chunked band scorer (ops/band_chunked.py) vs the oracle.
+
+The chunked driver lifts ``band.MAX_BOUNDARY`` — the SMEM cap on the
+boundary-row axis — by scanning column blocks coupled through captured /
+injected boundary COLUMNS (the analog of the reference's cache-blocked fill,
+``blocked-serial.cpp:42-48``, but against SMEM capacity instead of L2).
+Every case runs the interpreted Pallas kernel against the scalar oracle at
+tiny block geometry so multi-block hand-offs dominate; multi-strip cases
+couple the SMEM boundary ROW inside each block as well.
+"""
+
+import numpy as np
+import pytest
+
+from tpualign.config import AlignMode, ScoringConfig
+from tpualign.ops import band_chunked, oracle
+
+UNIT = ScoringConfig()
+GEN = ScoringConfig(match=2, mismatch=-3, gap=-4)
+SW = ScoringConfig(match=3, mismatch=-2, gap=-1, mode=AlignMode.LOCAL)
+
+
+def random_pair(m, n, seed, lo=0):
+    # lo=0 includes the gap code 0: pad text columns (sentinel 6) must
+    # never match it
+    r = np.random.default_rng(seed)
+    return (
+        r.integers(lo, 5, m).astype(np.int8),
+        r.integers(lo, 5, n).astype(np.int8),
+    )
+
+
+@pytest.mark.parametrize("cfg", [UNIT, GEN, SW], ids=["unit", "gen", "sw"])
+@pytest.mark.parametrize(
+    "m,n,block,rows",
+    [
+        (500, 600, 128, 2),  # swap path (n > m), 5 blocks x 2 strips
+        (300, 700, 128, 3),  # swap, 6 ragged blocks, bottom-aligned strip
+        (650, 200, 256, 2),  # no swap, ragged final block
+    ],
+)
+def test_multi_block_vs_oracle(m, n, block, rows, cfg):
+    s1, s2 = random_pair(m, n, m * 1000 + n)
+    got = band_chunked.score(s1, s2, cfg, rows=rows, block=block,
+                             interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_single_block_degenerates_to_band():
+    # block >= m: one block, pure strip scan — must still be exact
+    s1, s2 = random_pair(260, 300, 7)
+    got = band_chunked.score(s1, s2, GEN, rows=2, block=264, interpret=True)
+    assert got == oracle.score(s1, s2, GEN)
+
+
+def test_sw_max_in_middle_block():
+    # the SW running max must survive blocks after the one that set it:
+    # plant a strong match region in an early block, then noise
+    r = np.random.default_rng(11)
+    s1 = r.integers(1, 5, 520).astype(np.int8)
+    s2 = r.integers(1, 5, 300).astype(np.int8)
+    s1[140:170] = s2[40:70]  # block 1 of 4 (block=128) holds the max
+    got = band_chunked.score(s1, s2, SW, rows=2, block=128, interpret=True)
+    assert got == oracle.score(s1, s2, SW)
+
+
+def test_block_width_validation():
+    s1, s2 = random_pair(100, 100, 3)
+    with pytest.raises(ValueError):
+        band_chunked.score(s1, s2, UNIT, block=100, interpret=True)

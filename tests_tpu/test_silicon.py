@@ -117,6 +117,37 @@ def test_batch_api():
     assert align_score_batch(texts, queries).tolist() == want
 
 
+def test_chunked_band_multi_block():
+    # column blocks narrower than the text force the captured/injected
+    # boundary-COLUMN hand-off on silicon (the 200k-cap lift, round 3);
+    # small rows also crosses the in-block SMEM boundary-row hand-off
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import band_chunked, oracle
+
+    s1, s2 = random_pair(9000, 2000, seed=5)
+    gen = ScoringConfig(match=2, mismatch=-3, gap=-2)
+    sw = ScoringConfig(match=3, mismatch=-2, gap=-1, mode=AlignMode.LOCAL)
+    for cfg in (gen, sw):
+        got = band_chunked.score(s1, s2, cfg, rows=4, block=2048)
+        assert got == oracle.score(s1, s2, cfg), cfg.mode
+
+
+def test_band_strips_p1():
+    # sharded band fill compiles on the chip (P=1: the halo ppermute is
+    # identity but the chunked-mode kernel + pipeline scan are real)
+    from tpualign.config import ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import oracle
+    from tpualign.parallel import band_strips
+    from tpualign.parallel.mesh import make_mesh
+
+    s1, s2 = random_pair(4000, 3000, seed=9)
+    cfg = ScoringConfig(match=2, mismatch=-3, gap=-4)
+    got = band_strips.score(s1, s2, cfg, mesh=make_mesh(1), rows=4)
+    assert got == oracle.score(s1, s2, cfg)
+
+
 def test_mid_alignment_valid(corpus_pair):
     from tpualign import align
     from tpualign.ops import bitpal, oracle

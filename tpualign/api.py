@@ -62,7 +62,7 @@ def resolve_impl(
         if fam is not None and min(m, n) >= 4096 * n_dev:
             return "bitpal-strips"
         if fam is None and max(m, n) >= 4096 * n_dev:
-            return "strips"
+            return "band-strips"
     return "bitpal" if fam is not None else "band"
 
 
@@ -95,6 +95,19 @@ def align_score(
             )
         except ValueError:  # outside the family/pipeline envelope
             impl = "strips"
+    if impl == "band-strips":
+        from .parallel import band_strips
+
+        try:
+            # band kernel inside every shard (hybrid-vert successor);
+            # falls back to the portable sharded row scan outside its
+            # envelope (masked SW, per-chip block over the SMEM budget)
+            return band_strips.score(
+                s1, s2, scoring,
+                interpret=engine.interpret or _platform() != "tpu",
+            )
+        except ValueError:
+            impl = "strips"
     if impl == "strips":
         from .parallel import strips
 
@@ -116,6 +129,15 @@ def align_score(
         try:
             return band.score(s1, s2, scoring, interpret=engine.interpret)
         except ValueError:  # outside the boundary-row envelope
+            impl = "band-chunked"
+    if impl == "band-chunked":
+        from .ops import band_chunked
+
+        try:
+            return band_chunked.score(
+                s1, s2, scoring, interpret=engine.interpret
+            )
+        except ValueError:  # masked SW / beyond the HBM guard
             impl = "pallas"
     if impl == "xla":
         from .ops import xla

@@ -80,8 +80,8 @@ def time_device_fn(
     label: str,
     cells: int,
     runs: int = 3,
-    target_s: float = 0.25,
-    max_iters: int = 16,
+    target_s: float = 2.0,
+    max_iters: int = 8192,
 ) -> BenchResult:
     """Best/avg-of-N timing of a jitted device function (after one warmup).
 
@@ -91,13 +91,29 @@ def time_device_fn(
     are re-dispatched with on-device iteration (:func:`amortized`) so
     round-trip latency does not masquerade as kernel time; reported samples
     are per-iteration.
+
+    This is THE headline timing recipe (round-3 verdict #8): ``target_s``
+    sizes the in-dispatch iteration count so the ~30 ms tunnel round trip is
+    amortized below ~2% even for ms-scale kernels; ``bench.py``, the size
+    sweeps, and the large-scale runs all call this function, so the same
+    point reads the same number (±ordinary run variance) on every surface.
+    Sweeps that only need *relative* ordering (``cli.py tune``) may pass a
+    smaller ``target_s``.
     """
     out = fn(*args)
     score = int(np.asarray(jax_block(out)))
     t0 = time.perf_counter()
     jax_block(fn(*args))
     t1 = time.perf_counter() - t0
-    iters = int(min(max_iters, max(1, round(target_s / max(t1, 1e-4)))))
+    # Amortize the host<->device round trip below ~1% of the kernel: the
+    # tunnel's dispatch floor is measured directly and the in-dispatch
+    # iteration count sized so floor/iters <= 1% of the estimated kernel
+    # time (bounded by max_iters and by ~2*target_s of wall per sample).
+    floor = _dispatch_floor()
+    kernel_est = max(t1 - floor, t1 / 4, 1e-6)
+    want = floor / (0.01 * kernel_est)
+    budget = 2.0 * target_s / kernel_est
+    iters = int(min(max_iters, max(1, round(min(want, budget)))))
     if iters > 1:
         fn = amortized(fn, iters)
         got = int(np.asarray(jax_block(fn(*args))))  # compile + check
@@ -119,6 +135,29 @@ def time_device_fn(
 
 def jax_block(x):
     return x.block_until_ready() if hasattr(x, "block_until_ready") else x
+
+
+_FLOOR_CACHE: List[float] = []
+
+
+def _dispatch_floor() -> float:
+    """Measured per-dispatch host<->device round trip (min of 3): ~30 ms
+    through the axon tunnel, ~100 us on a local backend."""
+    if _FLOOR_CACHE:
+        return _FLOOR_CACHE[0]
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.int32(1)
+    f(x).block_until_ready()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    _FLOOR_CACHE.append(best)
+    return best
 
 
 def write_tsv(path: str, results: Sequence[BenchResult]) -> None:

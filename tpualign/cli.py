@@ -46,8 +46,9 @@ def _add_scoring_args(p: argparse.ArgumentParser) -> None:
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--impl",
-                   choices=["auto", "bitpal", "band", "pallas", "xla",
-                            "oracle", "bitpal-strips", "strips"],
+                   choices=["auto", "bitpal", "band", "band-chunked",
+                            "pallas", "xla", "oracle", "bitpal-strips",
+                            "band-strips", "strips"],
                    default="auto")
     p.add_argument("--chunk-rows", type=int, default=2048,
                    help="pipelined chunk depth for the sharded engine")
@@ -128,10 +129,17 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
         from .api import resolve_impl
 
         impl = resolve_impl(EngineConfig(), scoring, (len(s1), len(s2)))
+    args = None
     if impl == "bitpal-strips":
         from .parallel import bitpal_strips
 
         fn = bitpal_strips.score_fn(len(s1), len(s2), scoring)
+    elif impl == "band-strips":
+        from .parallel import band_strips
+
+        sfn, prep = band_strips.score_fn(len(s1), len(s2), scoring)
+        args = prep(np.asarray(s1), np.asarray(s2))
+        fn = jax.jit(sfn)
     elif impl == "strips":
         from .parallel import strips as strips_mod
 
@@ -150,6 +158,10 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
         from .ops import band
 
         fn = jax.jit(band.score_fn(len(s1), len(s2), scoring))
+    elif impl == "band-chunked":
+        from .ops import band_chunked
+
+        fn = jax.jit(band_chunked.score_fn(len(s1), len(s2), scoring))
     elif impl == "pallas":
         from .ops import pallas_diag
 
@@ -158,10 +170,13 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
         from .ops import xla as xla_ops
 
         fn = jax.jit(xla_ops.score_fn(scoring))
-    d1 = jnp.asarray(np.asarray(s1), jnp.int32)
-    d2 = jnp.asarray(np.asarray(s2), jnp.int32)
+    if args is None:
+        args = (
+            jnp.asarray(np.asarray(s1), jnp.int32),
+            jnp.asarray(np.asarray(s2), jnp.int32),
+        )
     return time_device_fn(
-        fn, (d1, d2), label=name, cells=len(s1) * len(s2), runs=runs
+        fn, args, label=name, cells=len(s1) * len(s2), runs=runs
     )
 
 

@@ -72,15 +72,15 @@ class EngineConfig:
     vector shape fixes the tiling (see PARITY.md §2b).
     """
 
-    impl: str = "auto"  # single-chip: bitpal|band|pallas|xla|oracle;
-    #                     sharded: bitpal-strips|strips (multi-device mesh)
+    impl: str = "auto"  # single-chip: bitpal|band|band-chunked|pallas|xla|
+    #                     oracle; sharded: bitpal-strips|band-strips|strips
     chunk_rows: int = 2048
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU tests)
 
     def __post_init__(self) -> None:
         if self.impl not in (
-            "auto", "bitpal", "band", "pallas", "xla", "oracle",
-            "bitpal-strips", "strips",
+            "auto", "bitpal", "band", "band-chunked", "pallas", "xla",
+            "oracle", "bitpal-strips", "band-strips", "strips",
         ):
             raise ValueError(f"unknown impl {self.impl!r}")
         if self.chunk_rows <= 0:

@@ -82,29 +82,39 @@ def _strip_kernel_body(
     cfg: ScoringConfig,
     vdt,
     interpret: bool,
-    # inputs
-    s1_ref,  # SMEM (words,) packed text
-    sc_ref,  # SMEM (4,) [i0, klo, s2_first, k_hi]: strip row offset,
-    #          first live slot (bottom-aligned partial strips), top live
-    #          row's char, one-past-last live slot
-    b_in_ref,  # VMEM (m + 3,) boundary row H(i0, :) — DMA'd into b_ref
-    #            (a second SMEM window would bust the 1 MB budget at
-    #            corpus m; only ONE boundary row fits)
-    s2cm_ref,  # VMEM (nr, LANES) this strip's chars, column-major
-    # outputs
-    b_ref,  # SMEM (m + 3,) boundary row out (also the working buffer)
-    vmax_ref,  # SMEM (1, 1) strip's running max (SW)
-    v_ref,  # VMEM (nr, LANES) per-slot running max (SW)
-    # scratch
-    a0_ref,
-    a0s_ref,
-    a1_ref,
-    a1s_ref,
-    w_ref,
-    pendv_ref,
-    pendw_ref,
-    dma_sem,
+    chunked: bool,
+    *refs,
 ):
+    """One strip of the band schedule, boundary row in/out.
+
+    Refs, in order: ``s1_ref`` SMEM (words,) packed text; ``sc_ref`` SMEM
+    (4,) [i0, klo, s2_first, k_hi] (strip row offset, first live slot for
+    bottom-aligned partial strips, the top live row's char, one-past-last
+    live slot); ``b_in_ref`` VMEM (m+3,) boundary row H(i0, :) — DMA'd
+    into ``b_ref`` (a second SMEM window would bust the 1 MB budget at
+    corpus m); ``s2cm_ref`` VMEM (nr, LANES) strip chars, column-major;
+    [chunked: ``head_ref`` VMEM (nr, LANES) left-column values H(i, j0)
+    in slot layout].  Outputs: ``b_ref`` SMEM (m+3,) boundary row out
+    (also the working buffer); ``vmax_ref``; ``v_ref`` per-slot running
+    max; [chunked: ``cap_ref`` VMEM (nr, LANES) right-column capture
+    H(i, j0+m)].  Then the plane/ring scratch and the DMA semaphore.
+
+    ``chunked`` is the column-block mode of the unbounded-boundary driver
+    (``band_chunked.py``): the wavefront head injects a COLUMN of carried
+    values instead of the analytic H(i, 0), and each slot's value at its
+    last in-block column is captured for the next block.
+    """
+    if chunked:
+        (s1_ref, sc_ref, b_in_ref, s2cm_ref, head_ref,
+         b_ref, vmax_ref, v_ref, cap_ref,
+         a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, pendv_ref, pendw_ref,
+         dma_sem) = refs
+    else:
+        (s1_ref, sc_ref, b_in_ref, s2cm_ref,
+         b_ref, vmax_ref, v_ref,
+         a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, pendv_ref, pendw_ref,
+         dma_sem) = refs
+        head_ref = cap_ref = None
     match = vdt(cfg.match)
     mismatch = vdt(cfg.mismatch)
     g = vdt(cfg.gap)
@@ -120,8 +130,12 @@ def _strip_kernel_body(
     k_hi = sc_ref[3]  # one past the last live slot (rows beyond the query)
     i0g = vdt(0) if local else i0.astype(vdt) * g
 
-    # head values: H(i0 + 1 + (k - klo), 0); dead slots (k < klo) stay NEG
-    if local:
+    # head values: H(i0 + 1 + (k - klo), j0); dead slots (k < klo) stay NEG.
+    # The chunked driver carries the true left column in slot layout; the
+    # single-table fills use the analytic H(i, 0) boundary
+    if chunked:
+        head_vals = head_ref[:]
+    elif local:
         head_vals = jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
     else:
         head_vals = jnp.where(
@@ -153,10 +167,13 @@ def _strip_kernel_body(
     pendw_ref[:] = jnp.zeros((8, LANES), jnp.int32)
     if local:
         v_ref[:] = jnp.zeros((nr, LANES), vdt)
+    if chunked:
+        cap_ref[:] = neg
 
     s2cm = s2cm_ref[:]
 
-    def substep(t, u, bjm1, bj, a_ref, as_ref, oa_ref, oas_ref, ramp):
+    def substep(t, u, bjm1, bj, a_ref, as_ref, oa_ref, oas_ref, ramp,
+                cap=False):
         idx = jnp.clip(t - 1, 0, m - 1)
         ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
         ch = jnp.where(t - 1 < m, ch, 6)  # post-text sentinel
@@ -198,6 +215,8 @@ def _strip_kernel_body(
             v_ref[:] = jnp.maximum(
                 v_ref[:], jnp.where(live, new, vdt(NEG_INF))
             )
+        if cap:  # right-column capture: each slot's value at column m
+            cap_ref[:] = jnp.where(t - phase == m, new, cap_ref[:])
         oa_ref[:] = new
         v_row0 = jnp.where(
             lane_is0,
@@ -209,7 +228,7 @@ def _strip_kernel_body(
         pendv_ref[u % 8 : u % 8 + 1, :] = _lane_shift(tail)
         pendw_ref[u % 8 : u % 8 + 1, :] = _lane_shift(w_new[nr - 1 : nr, :])
 
-    def block_impl(tt, c, ramp):
+    def block_impl(tt, c, ramp, cap=False):
         t0 = tt * unroll
         # boundary reads for the (staggered) top live row: B[j_top-1..];
         # writes trail the read cursor by p_max - p_klo >= the live rows'
@@ -219,13 +238,16 @@ def _strip_kernel_body(
         for u in range(-1, unroll):
             jt = t0 + u - p_klo
             b = b_ref[jnp.clip(jt, 0, m)]
-            bv.append(jnp.where(jt == 0, i0g, b))
+            if chunked:  # the driver materializes the corner in B[0]
+                bv.append(b)
+            else:
+                bv.append(jnp.where(jt == 0, i0g, b))
         for u in range(unroll):
             t = t0 + u
             refs = (a0_ref, a0s_ref, a1_ref, a1s_ref)
             if u % 2 == 1:
                 refs = (a1_ref, a1s_ref, a0_ref, a0s_ref)
-            substep(t, u, bv[u], bv[u + 1], *refs, ramp)
+            substep(t, u, bv[u], bv[u + 1], *refs, ramp, cap=cap)
             if u % 8 == 7:
                 for uu in range(u - 7, u + 1):
                     j_out = t0 + uu - p_max
@@ -235,22 +257,76 @@ def _strip_kernel_body(
         return c
 
     t_head = min(t_steps, _round_up(p_max + 2, unroll))
-    jax.lax.fori_loop(
-        0, t_head // unroll, lambda tt, c: block_impl(tt, c, True), 0,
-        unroll=False,
-    )
-    jax.lax.fori_loop(
-        t_head // unroll, t_steps // unroll,
-        lambda tt, c: block_impl(tt, c, False), 0, unroll=False,
-    )
-    # H(i0, 0..) of the NEXT strip boundary includes column 0: H(i0+R, 0)
-    nxt = i0 + (nr * LANES - klo)
-    b_ref[0] = vdt(0) if local else nxt.astype(vdt) * g
+    if not chunked:
+        segs = [(0, t_head, True, False), (t_head, t_steps, False, False)]
+    else:
+        # captures fire at t = m + phase: skip the capture select until the
+        # earliest possible hit, whatever its overlap with the ramp
+        t_cap = min(t_steps, (m // unroll) * unroll)
+        cuts = sorted({0, min(t_head, t_cap), t_head, max(t_head, t_cap),
+                       t_steps})
+        segs = [
+            (a, b, a < t_head, a >= t_cap)
+            for a, b in zip(cuts, cuts[1:])
+            if a < b
+        ]
+    for a, b, ramp_f, cap_f in segs:
+        jax.lax.fori_loop(
+            a // unroll, b // unroll,
+            lambda tt, c, r=ramp_f, cp=cap_f: block_impl(tt, c, r, cp),
+            0, unroll=False,
+        )
+    # the NEXT strip's boundary corner: H(i0+R, j0) — the injected left
+    # column's last row when chunked, analytic H(i0+R, 0) otherwise
+    if chunked:
+        b_ref[0] = head_ref[nr - 1, LANES - 1]  # slot R-1
+    else:
+        nxt = i0 + (nr * LANES - klo)
+        b_ref[0] = vdt(0) if local else nxt.astype(vdt) * g
     if local:
         vmax_ref[0, 0] = jnp.max(v_ref[:])
     else:
         vmax_ref[0, 0] = vdt(0)
         v_ref[:] = neg
+
+
+def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked):
+    """Build the single-strip pallas_call (see ``_strip_kernel_body``)."""
+    kernel = functools.partial(
+        _strip_kernel_body, m, nr, t_steps, unroll, cfg, vdt, interpret,
+        chunked,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = [
+        jax.ShapeDtypeStruct((m + 3,), vdt),
+        jax.ShapeDtypeStruct((1, 1), vdt),
+        jax.ShapeDtypeStruct((nr, LANES), vdt),
+    ]
+    ins = [smem, smem, vmem, vmem]
+    out_specs = [smem, smem, vmem]
+    if chunked:
+        ins.append(vmem)  # head column plane
+        outs.append(jax.ShapeDtypeStruct((nr, LANES), vdt))  # capture
+        out_specs.append(vmem)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(outs),
+        # b_in arrives in VMEM and is DMA'd into the SMEM working window:
+        # SMEM (1 MB) holds exactly one corpus-size boundary row
+        in_specs=ins,
+        out_specs=tuple(out_specs),
+        scratch_shapes=(
+            [pltpu.VMEM((nr, LANES), vdt) for _ in range(4)]
+            + [
+                pltpu.VMEM((nr, LANES), jnp.int32),
+                pltpu.VMEM((8, LANES), vdt),
+                pltpu.VMEM((8, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        ),
+        interpret=interpret,
+    )
 
 
 @functools.partial(
@@ -280,33 +356,8 @@ def _strip_scan(
     p_max = (nr - 1) + (LANES - 1) * (nr + 2)
     unroll = 16
     t_steps = _round_up(m + p_max + 132, unroll)
-    kernel = functools.partial(
-        _strip_kernel_body, m, nr, t_steps, unroll, cfg, vdt, interpret
-    )
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((m + 3,), vdt),
-            jax.ShapeDtypeStruct((1, 1), vdt),
-            jax.ShapeDtypeStruct((nr, LANES), vdt),
-        ),
-        # b_in arrives in VMEM and is DMA'd into the SMEM working window:
-        # SMEM (1 MB) holds exactly one corpus-size boundary row
-        in_specs=[smem, smem, vmem, vmem],
-        out_specs=(smem, smem, vmem),
-        scratch_shapes=(
-            [pltpu.VMEM((nr, LANES), vdt) for _ in range(4)]
-            + [
-                pltpu.VMEM((nr, LANES), jnp.int32),
-                pltpu.VMEM((8, LANES), vdt),
-                pltpu.VMEM((8, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ]
-        ),
-        interpret=interpret,
-    )
+    call = _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret,
+                       chunked=False)
     K = scs.shape[0]
     s2cm_strips = s2cm_all.reshape(K, nr, LANES)
 

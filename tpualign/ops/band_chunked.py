@@ -1,0 +1,265 @@
+"""Unbounded-boundary band scoring: column-block chunking of the strip
+engine (round-3 verdict item #2 — lifts ``band.MAX_BOUNDARY``).
+
+The band kernel keeps its boundary row in SMEM, capping the boundary axis
+at ~200k chars; when BOTH sequences exceed that, round 2 silently fell back
+to the ~96-GCUPS flat kernel.  This driver processes the DP table in
+**column blocks** of ``block`` columns: within a block the usual strip scan
+runs top-to-bottom (boundary row carried strip-to-strip through SMEM), and
+blocks couple through **boundary columns** — each strip's right column is
+captured in slot layout (``cap_ref``) and injected as the next block's
+wavefront head (``head_ref``), exactly where the analytic ``H(i, 0)``
+boundary enters on a fresh table.  Everything runs inside ONE jitted
+``scan(blocks) x scan(strips)`` nest; the column planes stay in HBM between
+blocks (n x 4 B per edge) and stream through VMEM per strip.
+
+The decomposition mirrors the reference's cache-blocked fill
+(``blocked-serial.cpp:42-48``, vertical strips of the table) and its
+``COMMBUF_SIZE`` pipelining — but on one chip, against the SMEM capacity
+instead of L2, with no cap on EITHER axis beyond HBM.
+
+Scores stay exact: the same recurrence crosses block edges through the
+injected columns, and the f32 fast path obeys the usual 24-bit bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ScoringConfig
+from .pallas_diag import LANES, _round_up
+from .band import NEG_INF, PAD_CHAR, _wants_f32
+from .band_align import _strip_call
+
+#: default column-block width (chars); B row (block+3 scalars) must sit in
+#: SMEM beside the packed block text
+DEFAULT_BLOCK = 131072
+
+#: HBM guard for the char/column-plane buffers (~12 B per strip-axis char)
+MAX_AXIS = 1 << 27
+
+
+def strip_geometry(ns: int, R: int):
+    """Static per-strip scalars and the query gather map for a strip axis of
+    ``ns`` rows cut into strips of ``R``: returns ``(scs_np, idx_np)`` where
+    ``scs_np`` is (K, 4) ``[i0, klo, s2_first, k_hi]`` (bottom-aligned
+    partial strips, so the final boundary row is exactly row ``ns``) and
+    ``idx_np`` maps slot-layout position -> query index (-1 = pad).
+
+    The kernel's boundary-row write cursor trails the top live row's read
+    cursor by ``p_max - p_klo`` steps, which is positive only when a strip
+    has >= 2 live rows — a 1-live-row strip reads back its own output
+    (caught by the interpret sweep in ``tests/test_band_chunked.py``).  When
+    the remainder strip would be too thin, rows are borrowed from the
+    strip before it: both end up partial (klo > 0) but comfortably live.
+    """
+    if ns < 2:
+        raise ValueError("single-row strip axes are outside the band "
+                         "kernel's boundary-hazard envelope")
+    K = -(-ns // R)
+    counts = [R] * (K - 1) + [ns - (K - 1) * R]
+    if K >= 2:
+        want_live = LANES if R >= 2 * LANES else 2
+        if counts[-1] < want_live:
+            d = want_live - counts[-1]
+            counts[-2] -= d
+            counts[-1] += d
+    scs_np = np.zeros((K, 4), np.int32)
+    idx_np = np.full(K * R, -1, np.int64)
+    i0 = 0
+    for s, cnt in enumerate(counts):
+        klo = R - cnt
+        scs_np[s] = (i0, klo, 0, R)
+        idx_np[s * R + klo : (s + 1) * R] = i0 + np.arange(cnt)
+        i0 += cnt
+    return scs_np, idx_np
+
+
+def pack_query(s_seq: jax.Array, scs_np, idx_np, K: int, rows: int):
+    """Device-side query packing for the strip scan: returns ``(scs,
+    s2cm_all)`` — the per-strip scalars with the top live row's char gathered
+    in, and the (K*rows, LANES) column-major strip char planes."""
+    i0s = jnp.asarray(scs_np[:, 0].copy())
+    scs = jnp.asarray(scs_np).at[:, 2].set(s_seq[i0s])
+    idx = jnp.asarray(idx_np)
+    cm = jnp.where(idx >= 0, s_seq[jnp.maximum(idx, 0)], PAD_CHAR)
+    s2cm_all = (
+        cm.reshape(K, LANES, rows)
+        .transpose(0, 2, 1)
+        .reshape(K * rows, LANES)
+    )
+    return scs, s2cm_all
+
+
+def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt):
+    """Analytic left column H(i, 0) of every strip, in slot layout: the
+    wavefront head the chunked kernel injects for the table's first column
+    block (dead slots of a bottom-aligned strip stay NEG)."""
+    k_flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 1) * nr
+        + jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 0)
+    )
+
+    def head0(sc):
+        i0, klo = sc[0], sc[1]
+        if cfg.is_local:
+            return jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
+        return jnp.where(
+            k_flat >= klo,
+            ((i0 + 1 - klo) + k_flat).astype(vdt) * vdt(cfg.gap),
+            vdt(NEG_INF),
+        )
+
+    return jax.vmap(head0)(scs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "m", "n", "nr", "block", "cfg", "use_f32", "interpret"
+    ),
+)
+def _chunked_scan(
+    s1p: jax.Array,  # (ceil(m/8) padded to block words,) packed text
+    s2cm_all: jax.Array,  # (K * nr, LANES) strip chars
+    scs: jax.Array,  # (K, 4) per-strip [i0, klo, s2_first, k_hi]
+    m: int,
+    n: int,
+    nr: int,
+    block: int,
+    cfg: ScoringConfig,
+    use_f32: bool,
+    interpret: bool,
+):
+    vdt = jnp.float32 if use_f32 else jnp.int32
+    R = nr * LANES
+    K = scs.shape[0]
+    Q = -(-m // block)
+    p_max = (nr - 1) + (LANES - 1) * (nr + 2)
+    unroll = 16
+    g = cfg.gap
+    local = cfg.is_local
+
+    s2cm_strips = s2cm_all.reshape(K, nr, LANES)
+    heads0 = heads_init(scs, nr, cfg, vdt)  # (K, nr, LANES)
+
+    t_steps = _round_up(block + p_max + 132, unroll)
+    call = _strip_call(block, nr, t_steps, unroll, cfg, vdt, interpret,
+                       chunked=True)
+    words_pb = block // 8
+
+    def block_step(carry, q):
+        heads, score = carry
+        j0 = q * block  # global column offset of this block's column 1
+        s1p_q = jax.lax.dynamic_slice(s1p, (q * words_pb,), (words_pb,))
+        # top row of the table for this block: H(0, j0 + jj)
+        jj = jnp.arange(block + 3, dtype=jnp.int32)
+        if local:
+            b0 = jnp.zeros((block + 3,), vdt)
+        else:
+            b0 = ((j0 + jj) * g).astype(vdt)  # b0[0] = corner H(0, j0)
+
+        def strip_step(b, xs):
+            sc, s2cm_s, head_s = xs
+            b_out, vmax, _, cap = call(
+                s1p_q, sc, b.astype(vdt), s2cm_s, head_s
+            )
+            return b_out, (vmax[0, 0], cap)
+
+        b_fin, (vmaxs, caps) = jax.lax.scan(
+            strip_step, b0, (scs, s2cm_strips, heads)
+        )
+        if local:  # running max over ALL blocks (never overwritten)
+            score = jnp.maximum(score, jnp.max(vmaxs))
+        else:
+            # the block's true last column index (the final block is ragged)
+            last = jnp.minimum(m - j0, block)
+            sc_here = b_fin[last]  # H(n, j0+last) — real only in final block
+            score = jnp.where(q == Q - 1, sc_here, score)
+        return (caps, score), None
+
+    init = (heads0, vdt(NEG_INF) if not local else vdt(0))
+    (heads, score), _ = jax.lax.scan(
+        block_step, init, jnp.arange(Q, dtype=jnp.int32)
+    )
+    return score
+
+
+def score_fn(
+    m: int,
+    n: int,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    rows: int = 112,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
+    ``n = len(s2)`` — the unbounded-boundary engine's analog of
+    ``band.score_fn`` (all packing runs on device inside the jit)."""
+    if m == 0 or n == 0:
+        base = 0 if cfg.is_local else cfg.gap * (m + n)
+        return lambda s1, s2: jnp.int32(base)
+    if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):
+        raise ValueError(
+            "masked SW configs are outside the chunked engine's envelope"
+        )
+    if max(m, n) > MAX_AXIS:
+        raise ValueError("sequence too long for the chunked band engine")
+    swapped = n > m  # strips on the longer side shorten the per-block drain
+    mb, ns = (n, m) if swapped else (m, n)
+    block = int(min(block, _round_up(mb, 8)))
+    if block % 8:
+        raise ValueError("block width must be a multiple of 8")
+    R = rows * LANES
+    K = -(-ns // R)
+    Q = -(-mb // block)
+    use_f32 = _wants_f32(cfg, mb, ns)
+
+    scs_np, idx_np = strip_geometry(ns, R)
+
+    def fn(s1: jax.Array, s2: jax.Array) -> jax.Array:
+        b_seq, s_seq = (s2, s1) if swapped else (s1, s2)
+        b_seq = b_seq.astype(jnp.int32)
+        s_seq = s_seq.astype(jnp.int32)
+        scs, s2cm_all = pack_query(s_seq, scs_np, idx_np, K, rows)
+        # text padded to whole blocks with the kernel's post-text sentinel
+        # 6, which matches no base code (0..4) and no PAD_CHAR row — pad
+        # COLUMNS must never score a match or SW's vmax would inflate
+        tx = jnp.full((Q * block,), 6, jnp.int32)
+        tx = jax.lax.dynamic_update_slice(tx, b_seq, (0,))
+        shifts = jnp.arange(8, dtype=jnp.int32) * 4
+        s1p = jnp.sum(
+            tx.reshape(Q * block // 8, 8) << shifts[None, :],
+            axis=1,
+            dtype=jnp.int32,
+        )
+        return _chunked_scan(
+            s1p, s2cm_all, scs, mb, ns, rows, block, cfg, use_f32, interpret
+        )
+
+    return fn
+
+
+def score(
+    s1,
+    s2,
+    cfg: ScoringConfig = ScoringConfig(),
+    *,
+    rows: int = 112,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> int:
+    """Alignment score with NO boundary-axis cap (both sequences may exceed
+    ``band.MAX_BOUNDARY``; the limit is HBM).  NW any params, SW."""
+    s1 = jnp.asarray(np.asarray(s1, np.int32))
+    s2 = jnp.asarray(np.asarray(s2, np.int32))
+    fn = score_fn(
+        int(s1.shape[0]), int(s2.shape[0]), cfg,
+        rows=rows, block=block, interpret=interpret,
+    )
+    return int(np.asarray(fn(s1, s2)))
