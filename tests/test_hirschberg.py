@@ -114,3 +114,30 @@ def test_sharded_alignment_8dev_mesh():
     assert sc == oracle.score(s1, s2, UNIT)
     assert _strip(a1) == _decode(s1)
     assert _strip(a2) == _decode(s2)
+
+
+def test_sharded_compile_count_bounded(monkeypatch):
+    # verdict r2 item #6: the sharded bisection's solver builds must be
+    # O(log nodes), not O(nodes) — text lengths come from exact halving
+    # ({floor,ceil}(m0/2^k)) and query lengths land in 1/8-octave buckets
+    from tpualign.parallel import bitpal_strips
+    from tpualign.parallel.mesh import make_mesh
+
+    keys = []
+    real = bitpal_strips.col_deltas_fn
+
+    def counting(m, n, *a, **kw):
+        keys.append((m, n))
+        return real(m, n, *a, **kw)
+
+    monkeypatch.setattr(bitpal_strips, "col_deltas_fn", counting)
+    s1, s2 = random_pair(512, 480, seed=5)
+    sc, a1, a2 = hirschberg.align_sharded(
+        s1, s2, UNIT, mesh=make_mesh(4), chunk_cols=64, interpret=True,
+        base_cells=1024,
+    )
+    assert sc == oracle.score(s1, s2, UNIT)
+    assert _strip(a1) == _decode(s1)
+    # ~60+ split-node col_scores calls land on a handful of solver shapes
+    assert len(keys) == len(set(keys)), "solver cache missed a repeat key"
+    assert len(set(keys)) <= 24, sorted(set(keys))
