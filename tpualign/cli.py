@@ -289,6 +289,46 @@ def cmd_tune_rc_chunk(args, s1, s2) -> int:
     return 0
 
 
+def cmd_tune_band(args, s1, s2) -> int:
+    """Sweep the band engines' strip depth ``rows`` (x column ``block`` for
+    the chunked engine) — the block-shape tuner's successor for the
+    general-scoring family (``sentinel-ob-tune.cpp`` + ``block-tune.sh``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .bench.harness import time_device_fn
+    from .ops import band, band_chunked
+
+    m, n = len(s1), len(s2)
+    d1 = jnp.asarray(np.asarray(s1), jnp.int32)
+    d2 = jnp.asarray(np.asarray(s2), jnp.int32)
+    chunked = args.engine == "band-chunked"
+    blocks = ([int(v) for v in args.blocks.split(",")] if chunked else [0])
+    rows = []
+    for nr in (int(v) for v in args.values.split(",")):
+        for blk in blocks:
+            if chunked:
+                fn = jax.jit(band_chunked.score_fn(
+                    m, n, _scoring(args), rows=nr, block=blk))
+                label = f"rows{nr}/b{blk}"
+            else:
+                fn = jax.jit(band.score_fn(m, n, _scoring(args), rows=nr))
+                label = f"rows{nr}"
+            r = time_device_fn(
+                fn, (d1, d2), label=label, cells=m * n, runs=args.runs)
+            print(f"{label}\t{r.wall_s_best*1e3:.2f} ms\t"
+                  f"{r.gcups_best:.3f} GCUPS\tscore {r.score}")
+            rows.append((nr, blk, round(r.wall_s_best * 1e3, 3),
+                         round(r.gcups_best, 3), r.score))
+    if args.tsv:
+        with open(args.tsv, "w") as f:
+            f.write("rows\tblock\tms_best\tgcups\tscore\n")
+            for row in rows:
+                f.write("\t".join(str(v) for v in row) + "\n")
+        print(f"wrote {args.tsv}")
+    return 0
+
+
 def cmd_tune(args) -> int:
     """Sweep a sharded engine's chunk depth (COMMBUF_SIZE successor)."""
     import jax
@@ -300,6 +340,8 @@ def cmd_tune(args) -> int:
     s1, s2 = read_bdna(args.seq1), read_bdna(args.seq2)
     if args.engine == "rc-chunk":
         return cmd_tune_rc_chunk(args, s1, s2)
+    if args.engine in ("band", "band-chunked"):
+        return cmd_tune_band(args, s1, s2)
     mesh = make_mesh(args.devices if args.devices > 0 else None)
     use_bitpal = args.engine == "bitpal"
     interpret = jax.devices()[0].platform != "tpu"
@@ -401,14 +443,18 @@ def main(argv: List[str] | None = None) -> int:
     p.add_argument("seq1")
     p.add_argument("seq2")
     p.add_argument("--engine",
-                   choices=["strips", "bitpal", "rc-chunk"],
+                   choices=["strips", "bitpal", "rc-chunk", "band",
+                            "band-chunked"],
                    default="strips",
-                   help="sharded chunk depth (strips/bitpal) or the 2-D "
+                   help="sharded chunk depth (strips/bitpal), the 2-D "
                         "(cols_per_step x chunk chars) surface of the "
-                        "single-chip chunked-text kernel (rc-chunk)")
+                        "single-chip chunked-text kernel (rc-chunk), or "
+                        "the band engines' strip depth (x column block)")
     p.add_argument("--values", default="256,512,1024,2048,4096")
     p.add_argument("--rc", default="1,2,3,4",
                    help="cols_per_step values for --engine rc-chunk")
+    p.add_argument("--blocks", default="65536,131072",
+                   help="column-block widths for --engine band-chunked")
     p.add_argument("--devices", type=int, default=0, help="mesh size (0 = all)")
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--tsv")
