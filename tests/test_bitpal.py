@@ -87,6 +87,65 @@ def test_kernel_multiword_slots(rng):
     )
 
 
+def test_kernel_lean_and_base_paths_agree():
+    # both flagship schedules (round-3 lean: concat shifts, split hand-off
+    # planes, complement state vs the round-2 packed-word base) must agree
+    # with the bigint spec; the multi-lane shape exercises the pend lane
+    # hand-off in each
+    m, n = 129 * bitpal.WORD + 7, 500
+    s1, s2 = random_pair(m, n, seed=42)
+    want = bitpal.score_bigint(s1, s2)
+    for lean in (True, False):
+        fn = bitpal.score_fn(m, n, UNIT, interpret=True, lean=lean)
+        assert int(fn(np.asarray(s1), np.asarray(s2))) == want, lean
+
+
+def test_lean_and_base_chunked_paths_agree(rng):
+    # the lean flag also switches the resumable chunk kernels (plain and
+    # rc): both schedules vs oracle through the beyond-SMEM text path
+    import jax.numpy as jnp
+
+    for rc in (1, 4):
+        m = int(rng.integers(200, 400))
+        n = int(rng.integers(40, 200))
+        s1, s2 = random_pair(m, n, seed=7000 + rc)
+        want = oracle.score(s1, s2, UNIT)
+        d1, d2 = jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)
+        for lean in (True, False):
+            fn = bitpal.score_fn(
+                m, n, UNIT, interpret=True, text_cap=64,
+                cols_per_step=rc, lean=lean,
+            )
+            assert int(fn(d1, d2)) == want, (rc, lean)
+
+
+def test_lean_and_base_batch_kernel_agree(rng):
+    # the batch serving kernel's lean/base inner steps vs oracle
+    import jax.numpy as jnp
+
+    texts, queries, want = [], [], []
+    for i in range(4):
+        m = int(rng.integers(10, 150))
+        n = int(rng.integers(10, 120))
+        s1, s2 = random_pair(m, n, seed=8000 + i)
+        texts.append(s1)
+        queries.append(s2)
+        want.append(oracle.score(s1, s2, UNIT))
+    m_cap = max(len(t) for t in texts)
+    n_cap = max(len(q) for q in queries)
+    tp = jnp.stack([jnp.pad(jnp.asarray(t, jnp.int32),
+                            (0, m_cap - len(t))) for t in texts])
+    qp = jnp.stack([jnp.pad(jnp.asarray(q, jnp.int32),
+                            (0, n_cap - len(q))) for q in queries])
+    mts = jnp.asarray([len(t) for t in texts], jnp.int32)
+    nqs = jnp.asarray([len(q) for q in queries], jnp.int32)
+    for lean in (True, False):
+        fn = bitpal.score_batch_fn(
+            len(texts), m_cap, n_cap, UNIT, interpret=True, lean=lean
+        )
+        assert fn(tp, qp, mts, nqs).tolist() == want, lean
+
+
 def test_chunked_text_path(rng):
     # force the beyond-SMEM text path with a tiny cap
     import jax.numpy as jnp

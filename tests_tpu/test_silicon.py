@@ -63,6 +63,24 @@ def test_random_pairs_vs_oracle(cfg_args):
     assert align_score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
 
 
+def test_lean_and_base_flagship_schedules():
+    # the round-3 lean schedule and the round-2 base schedule must compile
+    # on Mosaic and agree on silicon (the CPU suite already pins exactness
+    # in interpret mode; this catches schedule-specific Mosaic regressions)
+    import jax.numpy as jnp
+
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import bitpal
+
+    s1, s2 = random_pair(40_000, 38_000, seed=33)
+    d1, d2 = jnp.asarray(s1, jnp.int32), jnp.asarray(s2, jnp.int32)
+    scores = []
+    for lean in (True, False):
+        fn = bitpal.score_fn(len(s1), len(s2), lean=lean)
+        scores.append(int(fn(d1, d2)))
+    assert scores[0] == scores[1]
+
+
 def test_band_engine_multi_strip():
     # n > R forces the SMEM boundary-row hand-off between strips on silicon
     from tpualign.config import ScoringConfig

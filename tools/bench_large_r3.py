@@ -50,6 +50,17 @@ def main():
                 "gcups": round(r.gcups_best), "score": r.score})
     print(json.dumps(out[-1]), flush=True)
 
+    # --- A/B: round-2 base schedule vs the round-3 lean flagship ---
+    fn_base = jax.jit(
+        bitpal.score_fn(len(s1), len(s2), ScoringConfig(), lean=False)
+    )
+    r = time_device_fn(fn_base, (d1, d2), label="64gb-bitpal-base",
+                       cells=cells)
+    out.append({"pair": "64gb corpus", "engine": "bitpal-base-sched",
+                "wall_s": round(r.wall_s_best, 5),
+                "gcups": round(r.gcups_best), "score": r.score})
+    print(json.dumps(out[-1]), flush=True)
+
     # --- 64gb band engines under the same recipe (NW-general + SW) ---
     from tpualign.ops import band
 

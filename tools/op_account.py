@@ -36,9 +36,72 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpualign.ops.bitpal import _plane_step, MASK31
+from tpualign.ops.bitpal import _plane_step, _plane_step_c, MASK31
 
 ROWS, LANES, UNROLL = 32, 128, 16
+
+
+def lean_kernel_body(T, text_ref, out_ref, b0, b1, cca, ccb, h0a, h0b,
+                     h1a, h1b, pend):
+    """Steady-state step of ``_bitpal_kernel_body_lean`` (round-3 schedule):
+    concat-fused shifts, split hand-off planes, complement state — measured
+    against the base step above to validate the modeled ~8-op cut."""
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eq = [text_ref[c] * jnp.ones((ROWS, LANES), jnp.int32) for c in range(4)]
+    for ref in (cca, ccb, h0a, h0b, h1a, h1b):
+        ref[:] = jnp.zeros((ROWS, LANES), jnp.int32)
+    b0[:] = jnp.full((ROWS, LANES), MASK31, jnp.int32)
+    b1[:] = jnp.full((ROWS, LANES), MASK31, jnp.int32)
+    pend[:] = jnp.zeros((8, LANES), jnp.int32)
+
+    def step(d, u):
+        p = u % 2
+        cc = cca if p == 0 else ccb
+        h0 = h0a if p == 0 else h0b
+        h1 = h1a if p == 0 else h1b
+        idx = jnp.minimum(d - 1, 63)
+        val = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+        cc_row0 = jnp.where(lane_row == 0, val, pend[p : p + 1, :])
+        h0_row0 = jnp.where(lane_row == 0, 0, pend[2 + p : 3 + p, :])
+        h1_row0 = jnp.where(lane_row == 0, 0, pend[4 + p : 5 + p, :])
+        cts_cc = jnp.concatenate([cc_row0, cc[: ROWS - 1]], axis=0)
+        cts_h0 = jnp.concatenate([h0_row0, h0[: ROWS - 1]], axis=0)
+        cts_h1 = jnp.concatenate([h1_row0, h1[: ROWS - 1]], axis=0)
+        E = jnp.where(
+            cts_cc <= 2,
+            jnp.where(cts_cc == 1, eq[0], eq[1]),
+            jnp.where(cts_cc == 3, eq[2], eq[3]),
+        )
+        u0 = (cts_h0 >> 30) & 1
+        u1 = (cts_h1 >> 30) & 1
+        nb0n, nb1n, U0, U1 = _plane_step_c(E, b0[:], b1[:], u0, u1)
+        b0[:] = nb0n
+        b1[:] = nb1n
+        cc[:] = cts_cc
+        h0[:] = U0
+        h1[:] = U1
+        pend[p : p + 1, :] = pltpu.roll(cts_cc[ROWS - 1 : ROWS, :], 1, axis=1)
+        pend[2 + p : 3 + p, :] = pltpu.roll(U0[ROWS - 1 : ROWS, :], 1, axis=1)
+        pend[4 + p : 5 + p, :] = pltpu.roll(U1[ROWS - 1 : ROWS, :], 1, axis=1)
+
+    def body(tt, c):
+        for u in range(UNROLL):
+            step(UNROLL * tt + u + 1, u)
+        return c
+
+    jax.lax.fori_loop(0, T // UNROLL, body, 0, unroll=False)
+    out_ref[:] = b0[:] ^ b1[:]
+
+
+def build_lean(T):
+    return pl.pallas_call(
+        functools.partial(lean_kernel_body, T),
+        out_shape=jax.ShapeDtypeStruct((ROWS, LANES), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ROWS, LANES), jnp.int32)] * 8
+        + [pltpu.VMEM((8, LANES), jnp.int32)],
+    )
 
 
 def kernel_body(T, ablate, text_ref, out_ref, b0, b1, cta, ctb, pend):

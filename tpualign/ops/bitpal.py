@@ -77,6 +77,7 @@ Smith-Waterman) dispatch to the general wavefront kernel
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -248,6 +249,143 @@ def _plane_step(E, b0, b1, u0, u1):
     b0n = U0i ^ P
     b1n = x1 ^ (U0i & P)
     return b0n, b1n, tp
+
+
+def _plane_step_c(E, nb0, nb1, u0, u1):
+    """Complement-state variant of :func:`_plane_step` for the lean flagship
+    schedule: the carried planes are the complements ``nb = b ^ MASK31``, so
+    the two de-complement xors that headed every step vanish, and the raw
+    (pre-shift) ``h_out`` planes ``(U0, U1)`` are returned for the separate
+    hand-off buffers instead of being packed into a single word.
+
+    Bit-31 hygiene is dropped entirely (no ``& MASK31`` on the shifted-in
+    planes): bit 31 of every carried plane may be junk.  That is safe
+    structurally — the carry-add only propagates junk *upward* into bit 31,
+    hand-off consumers extract bit 30 (``WORD - 1``) with an explicit
+    ``& 1``, and the score reduction masks with ``valid <= MASK31``
+    (:func:`_reduce_score`)."""
+    vm1 = nb0 & nb1  # v = -1 plane (was nB0 & nB1)
+    v2 = (nb0 | nb1) ^ MASK31  # b0 & b1: v = 2
+    S = E | v2
+    summ = vm1 + (E & vm1) + (u0 & u1)  # carry-in = (h_top == 2)
+    received = summ ^ vm1
+    P = S | received
+    nP = P ^ MASK31
+    U0 = (P & nb0) | (nP & (nb1 ^ vm1))  # nb1 ^ vm1 == b0 & ~b1
+    U1 = (P & nb1) | (nP & vm1)
+    U0i = (U0 << 1) | u0  # junk lands in bit 31; tolerated (see above)
+    U1i = (U1 << 1) | u1
+    nb0n = U0i ^ nP  # == (U0i ^ P) ^ MASK31
+    nb1n = (U0i ^ U1i) ^ (U0i & P)  # == x1 ^ (U0i & P) ^ MASK31
+    return nb0n, nb1n, U0, U1
+
+
+def _bitpal_kernel_body_lean(
+    mt: int,
+    rows: int,
+    total: int,
+    unroll: int,
+    nw: int,
+    text_ref,
+    eq_ref,
+    b0_out,
+    b1_out,
+    cca, ccb,  # char delay line, ping-ponged by step parity
+    h0a, h0b,  # h_out bit-0 planes (raw, pre-shift), ping-ponged
+    h1a, h1b,  # h_out bit-1 planes
+    pend_ref,  # (SUBLANES, LANES): lane-rolled tail rows; [parity + 2*plane]
+):
+    """Lean re-schedule of :func:`_bitpal_kernel_body` (same contract, same
+    ramp/steady/drain phasing) that cuts the steady step from ~52 to ~44
+    full-plane ops:
+
+    - the sublane roll + row-0 select collapses to ONE ``jnp.concatenate``
+      per carried plane (the row-0 merge rides inside the shift — the trick
+      measured on the band engine in round 3);
+    - the hand-off travels as three planes (char, h bit 0, h bit 1) instead
+      of one packed word, deleting the 5-op bottom-row pack and the 2-op
+      merge; consumers read bit ``WORD-1`` of the shifted raw planes;
+    - the delta state is carried complemented (:func:`_plane_step_c`),
+      deleting the two ``^ MASK31`` that fed ``vm1``, and the two
+      ``& MASK31`` bit-31 hygiene ops go with it.
+
+    Outputs are de-complemented once after the loops, so ``_reduce_score``
+    and every caller see the exact :func:`_bitpal_kernel_body` contract."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    offs = 2 * (row_i + rows * lane_i)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    eq = [eq_ref[c] for c in range(ALPHABET)]
+
+    # column-0 boundary: v = gap -> enc 0 -> complement planes all-ones
+    nb_init = jnp.full((rows, LANES), MASK31, jnp.int32)
+    b0_out[:] = nb_init
+    b1_out[:] = nb_init
+    for ref in (cca, ccb, h0a, h0b, h1a, h1b):
+        ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+    pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+    def step(d, u, freeze=True):
+        p = u % 2
+        cc = cca if p == 0 else ccb
+        h0 = h0a if p == 0 else h0b
+        h1 = h1a if p == 0 else h1b
+        # fresh text char via the scalar core (SMEM), as in the base kernel
+        idx = jnp.minimum(d - 1, mt - 1)
+        val = (text_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
+        cc_row0 = jnp.where(lane_row == 0, val, pend_ref[p : p + 1, :])
+        # word 0's h_top is the boundary Dh(0,j) = gap -> both bits 0
+        h0_row0 = jnp.where(lane_row == 0, 0, pend_ref[2 + p : 3 + p, :])
+        h1_row0 = jnp.where(lane_row == 0, 0, pend_ref[4 + p : 5 + p, :])
+        cts_cc = jnp.concatenate([cc_row0, cc[: rows - 1]], axis=0)
+        cts_h0 = jnp.concatenate([h0_row0, h0[: rows - 1]], axis=0)
+        cts_h1 = jnp.concatenate([h1_row0, h1[: rows - 1]], axis=0)
+        win = cts_cc
+        E = jnp.where(
+            win <= 2,
+            jnp.where(win == 1, eq[0], eq[1]),
+            jnp.where(win == 3, eq[2], eq[3]),
+        )
+        u0 = (cts_h0 >> (WORD - 1)) & 1
+        u1 = (cts_h1 >> (WORD - 1)) & 1
+        nb0n, nb1n, U0, U1 = _plane_step_c(E, b0_out[:], b1_out[:], u0, u1)
+        if freeze:
+            upd = (offs <= d - 1) & (offs >= d - mt)
+            b0_out[:] = jnp.where(upd, nb0n, b0_out[:])
+            b1_out[:] = jnp.where(upd, nb1n, b1_out[:])
+        else:
+            b0_out[:] = nb0n
+            b1_out[:] = nb1n
+        cc[:] = cts_cc  # the char line stores SHIFTED: one row per 2 steps
+        h0[:] = U0  # h planes store RAW (slot-positioned); shift at read
+        h1[:] = U1
+        pend_ref[p : p + 1, :] = pltpu.roll(
+            cts_cc[rows - 1 : rows, :], 1, axis=1
+        )
+        pend_ref[2 + p : 3 + p, :] = pltpu.roll(
+            U0[rows - 1 : rows, :], 1, axis=1
+        )
+        pend_ref[4 + p : 5 + p, :] = pltpu.roll(
+            U1[rows - 1 : rows, :], 1, axis=1
+        )
+
+    def body(tt, _, freeze=True):
+        d0 = unroll * tt + 1
+        for u in range(unroll):
+            step(d0 + u, u, freeze)
+        return 0
+
+    d_lo = 2 * (nw - 1) + 1
+    tt0 = max(0, min(-(-(d_lo - 1) // unroll), total // unroll))
+    tt1 = max(tt0, min(mt // unroll, total // unroll))
+    jax.lax.fori_loop(0, tt0, body, 0, unroll=False)
+    jax.lax.fori_loop(
+        tt0, tt1, functools.partial(body, freeze=False), 0, unroll=False
+    )
+    jax.lax.fori_loop(tt1, total // unroll, body, 0, unroll=False)
+    # de-complement: callers and _reduce_score see the base-kernel contract
+    b0_out[:] = b0_out[:] ^ MASK31
+    b1_out[:] = b1_out[:] ^ MASK31
 
 
 def _bitpal_kernel_body(
@@ -453,7 +591,8 @@ def _g_kernel_body(
         pend_row = pend_ref[uu % 2 : uu % 2 + 1, :]
         # word 0's h_top is the boundary: h = -g -> enc 0 -> low bits 0
         row0 = jnp.where(lane_row == 0, val << B, pend_row)
-        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
+        # one concat: the row-0 merge rides inside the sublane shift
+        cts = jnp.concatenate([row0, ct_ref[: rows - 1]], axis=0)
         win = cts >> B
         E = jnp.where(
             win <= 2,
@@ -541,6 +680,7 @@ def _rc_kernel_body(
     total: int,
     unroll: int,
     rc: int,  # columns advanced per step (2..4)
+    lean: bool,  # complement-carry inner step (_plane_step_c)
     text_ref,  # SMEM: packed chars, 8 per int32
     eq_ref,
     b0_out,
@@ -570,8 +710,10 @@ def _rc_kernel_body(
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
-    b0_out[:] = jnp.zeros((rows, LANES), jnp.int32)
-    b1_out[:] = jnp.zeros((rows, LANES), jnp.int32)
+    # column-0 boundary: enc 0 everywhere (complemented when lean)
+    init = MASK31 if lean else 0
+    b0_out[:] = jnp.full((rows, LANES), init, jnp.int32)
+    b1_out[:] = jnp.full((rows, LANES), init, jnp.int32)
     ct_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
     pend_ref[:] = jnp.zeros((SUBLANES, LANES), jnp.int32)
 
@@ -584,7 +726,8 @@ def _rc_kernel_body(
             cpack = cpack | (ch << (8 + 4 * c))
         pend_row = pend_ref[u % 2 : u % 2 + 1, :]
         row0 = jnp.where(lane_row == 0, cpack, pend_row)
-        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
+        # one concat: the row-0 merge rides inside the sublane shift
+        cts = jnp.concatenate([row0, ct_ref[: rows - 1]], axis=0)
 
         b0, b1 = b0_out[:], b1_out[:]
         colbase = rc * t - rc * offs - rc  # column before this step's window
@@ -598,7 +741,11 @@ def _rc_kernel_body(
             )
             u0 = (cts >> (2 * c)) & 1
             u1 = (cts >> (2 * c + 1)) & 1
-            b0n, b1n, tp = _plane_step(E, b0, b1, u0, u1)
+            if lean:
+                b0n, b1n, U0, U1 = _plane_step_c(E, b0, b1, u0, u1)
+                tp = ((U0 >> (WORD - 1)) & 1) | ((U1 >> (WORD - 2)) & 2)
+            else:
+                b0n, b1n, tp = _plane_step(E, b0, b1, u0, u1)
             col = colbase + 1 + c
             upd = (col >= 1) & (col <= mt)
             b0 = jnp.where(upd, b0n, b0)
@@ -618,6 +765,9 @@ def _rc_kernel_body(
         return 0
 
     jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+    if lean:  # back to true encoding for _reduce_score
+        b0_out[:] = b0_out[:] ^ MASK31
+        b1_out[:] = b1_out[:] ^ MASK31
 
 
 def _batch_kernel_body(
@@ -626,6 +776,7 @@ def _batch_kernel_body(
     rows: int,
     total: int,
     unroll: int,
+    lean: bool,  # g=1 only: complement-carry inner step (_plane_step_c)
     # refs: mts SMEM (batch,), text SMEM flat column-major (8 chars/int32),
     # eq (ALPHABET, batch*rows, LANES), B delta-plane outputs, then scratch
     # cta, ctb, penda, pendb (all (batch*rows, LANES))
@@ -662,8 +813,11 @@ def _batch_kernel_body(
             (words[b >> 3] >> ((b & 7) << 2)) & 15 for b in range(batch)
         ]
 
+    lean1 = lean and g == 1
+    # column-0 boundary: enc 0 everywhere (complemented when lean)
+    vinit = MASK31 if lean1 else 0
     for r in v_out:
-        r[:] = jnp.zeros((brows, LANES), jnp.int32)
+        r[:] = jnp.full((brows, LANES), vinit, jnp.int32)
     cta_ref[:] = jnp.zeros((brows, LANES), jnp.int32)
     ctb_ref[:] = jnp.zeros((brows, LANES), jnp.int32)
     # pend buffers hold each pair's NEXT row-0 (text char at lane 0 embedded
@@ -695,7 +849,13 @@ def _batch_kernel_body(
             jnp.where(win == 3, eq[2], eq[3]),
         )
         ubits = [(cts >> b) & 1 for b in range(B)]
-        if g == 1:
+        if lean1:
+            nb0n, nb1n, U0, U1 = _plane_step_c(
+                E, v_out[0][:], v_out[1][:], ubits[0], ubits[1]
+            )
+            Vn = [nb0n, nb1n]
+            tp = ((U0 >> (WORD - 1)) & 1) | ((U1 >> (WORD - 2)) & 2)
+        elif g == 1:
             b0n, b1n, tp = _plane_step(
                 E, v_out[0][:], v_out[1][:], ubits[0], ubits[1]
             )
@@ -729,6 +889,9 @@ def _batch_kernel_body(
         return 0
 
     jax.lax.fori_loop(0, total // unroll, body, 0, unroll=False)
+    if lean1:  # back to true encoding for the per-pair popcount reduce
+        v_out[0][:] = v_out[0][:] ^ MASK31
+        v_out[1][:] = v_out[1][:] ^ MASK31
 
 
 @functools.lru_cache(maxsize=64)
@@ -738,6 +901,7 @@ def score_batch_fn(
     n_cap: int,
     cfg: ScoringConfig = ScoringConfig(),
     interpret: bool = False,
+    lean: Optional[bool] = None,
 ):
     """Jittable batched scorer for serving: ``(texts, queries, mts, nqs) ->
     (batch,) scores``, all pairs padded to ``(m_cap, n_cap)`` with true
@@ -766,8 +930,9 @@ def score_batch_fn(
             "batch text footprint exceeds the SMEM budget; batch scoring "
             "targets many small pairs — use score()/score_fn for large ones"
         )
+    lean = LEAN_FLAGSHIP if lean is None else lean
     kernel = functools.partial(
-        _batch_kernel_body, g, batch, rows, total, unroll
+        _batch_kernel_body, g, batch, rows, total, unroll, lean
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -878,6 +1043,7 @@ def _chunk_kernel_body(
     r_star: Optional[int],
     cap_slots,  # tuple of (slot_row, lane): per-step (1,1) h_out captures
     nw: Optional[int],  # real word count: enables the dynamic steady split
+    lean: bool,  # g=1 only: complement-state inner step (_plane_step_c)
     # refs: d0/mt SMEM (2,), text SMEM (t_steps//8,), ustream SMEM
     # (t_steps // stream_epw(B) words, stream_epw(B) pow2-packed entries
     # per word), eq (ALPHABET, rows, LANES),
@@ -905,6 +1071,7 @@ def _chunk_kernel_body(
     ``(1, 0, -g)``: g=1 runs the hand-tuned 2-bit plane step, g>=2 the
     generic B-bit plane algebra (``_g_plane_step``)."""
     B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
+    lean1 = lean and g == 1  # complement-carry variant (round-3 lean)
     epw = stream_epw(B)  # ustream entries per int32 (power of two)
     eshift = epw.bit_length() - 1
     d0_ref, text_ref, ustream_ref, eq_ref = refs[:4]
@@ -922,7 +1089,10 @@ def _chunk_kernel_body(
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
     for r_out, r_in in zip(v_out, v_in):
-        r_out[:] = r_in[:]
+        # lean: planes are carried complemented INSIDE the loop only — the
+        # at-rest state stays true-encoding (resume/popcount contract
+        # unchanged), at two plane-xors per chunk (~1e-3 of the step ops)
+        r_out[:] = (r_in[:] ^ MASK31) if lean1 else r_in[:]
     cta_out[:] = cta_in[:]
     ctb_out[:] = ctb_in[:]
     pend_out[:] = pend_in[:]
@@ -938,7 +1108,8 @@ def _chunk_kernel_body(
         ) & ((1 << B) - 1)
         pend_row = pend_out[u % 2 : u % 2 + 1, :]
         row0 = jnp.where(lane_row == 0, (val << B) | ub, pend_row)
-        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_ref[:], 1, axis=0))
+        # one concat: the row-0 merge rides inside the sublane shift
+        cts = jnp.concatenate([row0, ct_ref[: rows - 1]], axis=0)
         win = cts >> B
         E = jnp.where(
             win <= 2,
@@ -946,7 +1117,13 @@ def _chunk_kernel_body(
             jnp.where(win == 3, eq[2], eq[3]),
         )
         ubits = [(cts >> b) & 1 for b in range(B)]
-        if g == 1:
+        if lean1:
+            nb0n, nb1n, U0, U1 = _plane_step_c(
+                E, v_out[0][:], v_out[1][:], ubits[0], ubits[1]
+            )
+            Vn = [nb0n, nb1n]
+            tp = ((U0 >> (WORD - 1)) & 1) | ((U1 >> (WORD - 2)) & 2)
+        elif g == 1:
             b0n, b1n, tp = _plane_step(
                 E, v_out[0][:], v_out[1][:], ubits[0], ubits[1]
             )
@@ -999,6 +1176,9 @@ def _chunk_kernel_body(
             unroll=False,
         )
         jax.lax.fori_loop(tt1, nblocks, body, 0, unroll=False)
+    if lean1:  # back to true encoding for the at-rest state contract
+        v_out[0][:] = v_out[0][:] ^ MASK31
+        v_out[1][:] = v_out[1][:] ^ MASK31
 
 
 def chunk_call(
@@ -1016,6 +1196,7 @@ def chunk_call(
     g: int = 1,
     cap_slots=None,  # tuple of (slot_row, lane): multi-row h_out streams
     nw: Optional[int] = None,  # real word count: enables the steady split
+    lean: Optional[bool] = None,  # g=1 complement-carry step; None = default
 ):
     """Run one T-step chunk; returns ``(new_state, tail_rows[, caps])``.
 
@@ -1029,8 +1210,9 @@ def chunk_call(
     B = 2 if g == 1 else max(1, (2 * g + 1).bit_length())
     assert len(state) == B + 3, (len(state), B)
     caps = tuple(cap_slots) if cap_slots else None
+    lean = LEAN_FLAGSHIP if lean is None else lean
     kernel = functools.partial(
-        _chunk_kernel_body, g, rows, t_steps, unroll, r_star, caps, nw
+        _chunk_kernel_body, g, rows, t_steps, unroll, r_star, caps, nw, lean
     )
     state_shapes = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
     with_tail = r_star is not None
@@ -1070,9 +1252,15 @@ def init_chunk_state(rows: int, g: int = 1):
     )
 
 
+#: lean flagship schedule (concat-fused shifts, split hand-off planes,
+#: complement state) — A/B switch for the silicon bench; exactness of both
+#: paths is covered by the CPU suite
+LEAN_FLAGSHIP = os.environ.get("TPUALIGN_LEAN_FLAGSHIP", "1") != "0"
+
+
 @functools.partial(
     jax.jit, static_argnames=("mt", "rows", "total", "unroll", "nw",
-                     "interpret")
+                     "interpret", "lean")
 )
 def _bitpal_call(
     text_staged: jax.Array,
@@ -1083,13 +1271,25 @@ def _bitpal_call(
     unroll: int,
     nw: int,
     interpret: bool,
+    lean: Optional[bool] = None,
 ):
-    kernel = functools.partial(
-        _bitpal_kernel_body, mt, rows, total, unroll, nw
-    )
+    lean = LEAN_FLAGSHIP if lean is None else lean
+    body = _bitpal_kernel_body_lean if lean else _bitpal_kernel_body
+    kernel = functools.partial(body, mt, rows, total, unroll, nw)
     out_shape = tuple(
         jax.ShapeDtypeStruct((rows, LANES), jnp.int32) for _ in range(2)
     )
+    if lean:
+        # char + 2 raw h_out planes, each ping-ponged by step parity
+        scratch = [pltpu.VMEM((rows, LANES), jnp.int32)] * 6 + [
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32)
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((rows, LANES), jnp.int32),  # hand-off words, even
+            pltpu.VMEM((rows, LANES), jnp.int32),  # hand-off words, odd
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),  # rolled-tail ping-pong
+        ]
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -1100,11 +1300,7 @@ def _bitpal_call(
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(2)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rows, LANES), jnp.int32),  # char/hand-off words, even
-            pltpu.VMEM((rows, LANES), jnp.int32),  # char/hand-off words, odd
-            pltpu.VMEM((SUBLANES, LANES), jnp.int32),  # rolled-tail ping-pong
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(text_staged, eq_planes)
 
@@ -1213,7 +1409,7 @@ TEXT_SMEM_CAP = 3 << 19
 
 @functools.partial(
     jax.jit, static_argnames=("mt", "rows", "total", "unroll", "rc",
-                              "interpret")
+                              "interpret", "lean")
 )
 def _rc_call(
     text_packed: jax.Array,
@@ -1224,9 +1420,11 @@ def _rc_call(
     unroll: int,
     rc: int,
     interpret: bool,
+    lean: Optional[bool] = None,
 ):
+    lean = LEAN_FLAGSHIP if lean is None else lean
     kernel = functools.partial(
-        _rc_kernel_body, mt, rows, total, unroll, rc
+        _rc_kernel_body, mt, rows, total, unroll, rc, lean
     )
     return pl.pallas_call(
         kernel,
@@ -1253,6 +1451,7 @@ def _rc_chunk_kernel_body(
     rows: int,
     t_steps: int,
     unroll: int,
+    lean: bool,  # complement-carry inner step (_plane_step_c)
     # refs
     d0_ref,  # SMEM (2,): [global step base (chunk * t_steps), true mt]
     text_ref,  # SMEM (rc*t_steps//8,): this chunk's chars, packed
@@ -1281,8 +1480,10 @@ def _rc_chunk_kernel_body(
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     eq = [eq_ref[c] for c in range(ALPHABET)]
 
-    b0_out[:] = b0_in[:]
-    b1_out[:] = b1_in[:]
+    # lean: planes carried complemented inside the loop only; at-rest state
+    # stays true-encoding (two plane-xors per chunk)
+    b0_out[:] = (b0_in[:] ^ MASK31) if lean else b0_in[:]
+    b1_out[:] = (b1_in[:] ^ MASK31) if lean else b1_in[:]
     ct_out[:] = ct_in[:]
     pend_out[:] = pend_in[:]
     tb0 = d0_ref[0]
@@ -1297,7 +1498,8 @@ def _rc_chunk_kernel_body(
             cpack = cpack | (ch << (8 + 4 * c))
         pend_row = pend_out[u % 2 : u % 2 + 1, :]
         row0 = jnp.where(lane_row == 0, cpack, pend_row)
-        cts = jnp.where(row_i == 0, row0, pltpu.roll(ct_out[:], 1, axis=0))
+        # one concat: the row-0 merge rides inside the sublane shift
+        cts = jnp.concatenate([row0, ct_out[: rows - 1]], axis=0)
 
         b0, b1 = b0_out[:], b1_out[:]
         colbase = rc * t - rc * offs - rc
@@ -1311,7 +1513,11 @@ def _rc_chunk_kernel_body(
             )
             u0 = (cts >> (2 * c)) & 1
             u1 = (cts >> (2 * c + 1)) & 1
-            b0n, b1n, tp = _plane_step(E, b0, b1, u0, u1)
+            if lean:
+                b0n, b1n, U0, U1 = _plane_step_c(E, b0, b1, u0, u1)
+                tp = ((U0 >> (WORD - 1)) & 1) | ((U1 >> (WORD - 2)) & 2)
+            else:
+                b0n, b1n, tp = _plane_step(E, b0, b1, u0, u1)
             col = colbase + 1 + c
             upd = (col >= 1) & (col <= mt)
             b0 = jnp.where(upd, b0n, b0)
@@ -1331,6 +1537,9 @@ def _rc_chunk_kernel_body(
         return 0
 
     jax.lax.fori_loop(0, t_steps // unroll, body, 0, unroll=False)
+    if lean:  # back to true encoding for the at-rest state contract
+        b0_out[:] = b0_out[:] ^ MASK31
+        b1_out[:] = b1_out[:] ^ MASK31
 
 
 def init_rc_chunk_state(rows: int):
@@ -1350,13 +1559,15 @@ def rc_chunk_call(
     t_steps: int,
     unroll: Optional[int] = None,
     interpret: bool = False,
+    lean: Optional[bool] = None,
 ):
     """Run one T-step rc chunk; returns the new state tuple."""
     if unroll is None:
         unroll = UNROLL_INTERPRET if interpret else UNROLL
     assert t_steps % unroll == 0 and t_steps % 2 == 0
+    lean = LEAN_FLAGSHIP if lean is None else lean
     kernel = functools.partial(
-        _rc_chunk_kernel_body, rc, rows, t_steps, unroll
+        _rc_chunk_kernel_body, rc, rows, t_steps, unroll, lean
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1380,6 +1591,7 @@ def score_fn(
     interpret: bool = False,
     text_cap: int = TEXT_SMEM_CAP,
     cols_per_step: Optional[int] = None,
+    lean: Optional[bool] = None,
 ):
     """Jitted ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)``.  ``cols_per_step`` > 1 selects the R-column kernel
@@ -1394,13 +1606,16 @@ def score_fn(
     packing/reduction ops would otherwise dispatch eagerly per call —
     measured at 3-68x on the chunked paths, whose scan and packing are
     whole-program."""
-    return _score_fn_cached(m, n, cfg, interpret, text_cap, cols_per_step)
+    lean = LEAN_FLAGSHIP if lean is None else lean
+    return _score_fn_cached(m, n, cfg, interpret, text_cap, cols_per_step,
+                            lean)
 
 
 @functools.lru_cache(maxsize=64)
-def _score_fn_cached(m, n, cfg, interpret, text_cap, cols_per_step):
+def _score_fn_cached(m, n, cfg, interpret, text_cap, cols_per_step,
+                     lean=None):
     return jax.jit(
-        _score_fn_build(m, n, cfg, interpret, text_cap, cols_per_step)
+        _score_fn_build(m, n, cfg, interpret, text_cap, cols_per_step, lean)
     )
 
 
@@ -1411,6 +1626,7 @@ def _score_fn_build(
     interpret: bool,
     text_cap: int,
     cols_per_step: Optional[int],
+    lean: Optional[bool] = None,
 ):
     if supported_scale(cfg) is None:
         raise ValueError(
@@ -1464,11 +1680,11 @@ def _score_fn_build(
         if rc > 1 and gval == 1:
             return _score_chunked_rc_fn(
                 s1_is_query, cfg, nq, mt, nw, rows, valid, unroll,
-                text_cap, rc, interpret=interpret,
+                text_cap, rc, interpret=interpret, lean=lean,
             )
         return _score_chunked_fn(
             s1_is_query, cfg, nq, mt, nw, rows, valid, unroll, text_cap,
-            gval, interpret=interpret,
+            gval, interpret=interpret, lean=lean,
         )
 
     if rc > 1:
@@ -1481,7 +1697,7 @@ def _score_fn_build(
             planes = _rc_call(
                 _pack_text(text, mt),
                 _eq_planes(query, nq, nw, rows),
-                mt, rows, total_rc, unroll, rc, interpret,
+                mt, rows, total_rc, unroll, rc, interpret, lean,
             )
             return _from_unit(cfg, mt + nq, _reduce_score(planes, valid, mt, nq))
 
@@ -1498,6 +1714,7 @@ def _score_fn_build(
             unroll,
             nw,
             interpret,
+            lean,
         )
         return _from_unit(cfg, mt + nq, _reduce_score(planes, valid, mt, nq))
 
@@ -1516,6 +1733,7 @@ def _score_chunked_rc_fn(
     text_cap: int,
     rc: int,
     interpret: bool = False,
+    lean: Optional[bool] = None,
 ):
     """Beyond-SMEM texts at ``rc`` columns per step: ``lax.scan`` of the
     resumable R-column chunk kernel (``_rc_chunk_kernel_body``).  The regime
@@ -1554,6 +1772,7 @@ def _score_chunked_rc_fn(
                 t_steps=t_steps,
                 unroll=unroll,
                 interpret=interpret,
+                lean=lean,
             )
             return new_state, None
 
@@ -1580,6 +1799,7 @@ def _score_chunked_fn(
     text_cap: int,
     g: int = 1,
     interpret: bool = False,
+    lean: Optional[bool] = None,
 ):
     """Texts beyond the SMEM budget: ``lax.scan`` of the resumable chunk
     kernel over text slices, bit-parallel state carried on-device.
@@ -1619,6 +1839,7 @@ def _score_chunked_fn(
                 interpret=interpret,
                 g=g,
                 nw=nw,
+                lean=lean,
             )
             return new_state, None
 
