@@ -33,32 +33,14 @@ def load_pair():
     return random_pair(*PAIR_LENGTHS, seed=64)
 
 
-def _tpu_reachable() -> bool:
-    """Probe the tunneled-TPU relay before any jax device query.
-
-    When the tunnel relay is down, the first ``jax.devices()`` under the
-    ambient backend blocks indefinitely dialing it — the bench must instead
-    degrade to the portable CPU engine and still print its JSON line.
-    """
-    import socket
-
-    ip = os.environ.get("PALLAS_AXON_POOL_IPS", "")
-    if not ip:
-        return True  # no tunnel configured: local backend, let jax decide
-    for port in (8083, 8082):
-        try:
-            with socket.create_connection((ip.split(",")[0], port), timeout=5):
-                return True
-        except OSError:
-            continue
-    return False
-
-
 def main() -> None:
     import jax
 
-    if not _tpu_reachable():
-        jax.config.update("jax_platforms", "cpu")
+    # dead-relay guard: degrade to the portable CPU engine and still print
+    # the JSON line instead of hanging on the first device query
+    from tpualign.utils.platform import ensure_live_backend
+
+    ensure_live_backend()
     import jax.numpy as jnp
 
     from tpualign.bench.harness import time_device_fn

@@ -57,3 +57,18 @@ def scoring(request) -> ScoringConfig:
 @pytest.fixture
 def rng() -> np.random.Generator:
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled executables between test modules.
+
+    The suite compiles many hundreds of distinct XLA CPU executables in one
+    process; on small hosts the accumulated JIT state can segfault a later
+    compilation (observed: deterministic SIGSEGV in
+    ``backend_compile_and_load`` near the end of the run on a 1-core VM).
+    Dropping jax's compilation caches at module boundaries keeps the live
+    executable count bounded; modules recompile what they still need.
+    """
+    yield
+    jax.clear_caches()

@@ -465,6 +465,14 @@ def main(argv: List[str] | None = None) -> int:
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)
+
+    # Pin a usable platform BEFORE any command touches devices: a dead
+    # tunnel relay must degrade to CPU (with a warning), never hang.
+    import jax  # noqa: F401  (pre-imported by the site hook anyway)
+
+    from .utils.platform import ensure_live_backend
+
+    ensure_live_backend()
     return args.fn(args)
 
 
