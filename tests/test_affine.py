@@ -1,0 +1,177 @@
+"""Affine-gap (Gotoh) scoring — oracle and device engines.
+
+The reference has no affine mode (linear-only, ``needleman-wunsch.hpp:14``);
+this capability is pinned against ``slow_gotoh`` below — a deliberately
+naive, sequential three-matrix transcription of the textbook recurrences,
+sharing no code with the vectorized oracle row (`oracle._affine_row`).
+"""
+
+import numpy as np
+import pytest
+
+from tpualign.config import AlignMode, ScoringConfig
+from tpualign.io.bdna import random_pair
+from tpualign.ops import oracle
+
+NEG = -(1 << 40)
+
+
+def slow_gotoh(s1, s2, cfg):
+    """Textbook Gotoh: gap run of length L costs open + L*ext."""
+    M, N = len(s1), len(s2)
+    open_, ext = cfg.gap_open, cfg.gap_extend
+    local = cfg.is_local
+    H = [[0] * (M + 1) for _ in range(N + 1)]
+    E = [[NEG] * (M + 1) for _ in range(N + 1)]
+    F = [[NEG] * (M + 1) for _ in range(N + 1)]
+    if not local:
+        for j in range(1, M + 1):
+            H[0][j] = open_ + j * ext
+        for i in range(1, N + 1):
+            H[i][0] = open_ + i * ext
+    best = 0
+    for i in range(1, N + 1):
+        for j in range(1, M + 1):
+            sub = cfg.match if s1[j - 1] == s2[i - 1] else cfg.mismatch
+            E[i][j] = max(H[i][j - 1] + open_, E[i][j - 1]) + ext
+            F[i][j] = max(H[i - 1][j] + open_, F[i - 1][j]) + ext
+            h = max(H[i - 1][j - 1] + sub, E[i][j], F[i][j])
+            H[i][j] = max(h, 0) if local else h
+            best = max(best, H[i][j])
+    return best if local else H[N][M]
+
+
+CFGS = [
+    dict(match=2, mismatch=-3, gap_open=-5, gap_extend=-2),
+    dict(match=1, mismatch=-1, gap_open=0, gap_extend=-1),  # open=0 edge
+    dict(match=3, mismatch=-2, gap_open=-11, gap_extend=-1),
+    dict(match=2, mismatch=-1, gap_open=-2, gap_extend=-4),  # ext > open
+]
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+@pytest.mark.parametrize("weights", CFGS)
+def test_oracle_matches_slow_gotoh(mode, weights):
+    cfg = ScoringConfig(mode=mode, **weights)
+    rng = np.random.default_rng(
+        abs(hash((mode.value, tuple(sorted(weights.items()))))) % 2**31)
+    for _ in range(6):
+        m, n = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        want = slow_gotoh(list(s1), list(s2), cfg)
+        assert oracle.score(s1, s2, cfg) == want
+        H = oracle.score_table(s1, s2, cfg)
+        got = int(H.max()) if cfg.is_local else int(H[-1, -1])
+        assert got == want
+
+
+def test_affine_open_zero_equals_linear():
+    cfg_a = ScoringConfig(match=2, mismatch=-3, gap_open=0, gap_extend=-4)
+    cfg_l = ScoringConfig(match=2, mismatch=-3, gap=-4)
+    for seed in range(4):
+        s1, s2 = random_pair(60, 55, seed=seed)
+        assert oracle.score(s1, s2, cfg_a) == oracle.score(s1, s2, cfg_l)
+
+
+def test_affine_prefers_one_long_gap():
+    # classic affine signature: one open+3*ext gap beats three separate
+    # gaps under linear scoring with the same total columns
+    from tpualign.io.bdna import encode
+
+    s1 = encode("ACGTACGT")
+    s2 = encode("ACGT")  # needs 4 gap columns
+    cfg = ScoringConfig(match=1, mismatch=-2, gap_open=-3, gap_extend=-1)
+    # best: 4 matches + one gap run of 4 -> 4*1 + (-3 + 4*-1) = -3
+    assert oracle.score(s1, s2, cfg) == -3
+    sc, a1, a2 = oracle.traceback(s1, s2, cfg)
+    assert sc == -3
+    assert a2.count("-") == 4
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+def test_affine_traceback_valid(mode):
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-4, gap_extend=-1,
+                        mode=mode)
+    from tpualign.io.bdna import BASES
+
+    rng = np.random.default_rng(99)
+    for _ in range(6):
+        m, n = int(rng.integers(2, 35)), int(rng.integers(2, 35))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        sc, a1, a2 = oracle.traceback(s1, s2, cfg)
+        assert sc == oracle.score(s1, s2, cfg)
+        assert oracle.alignment_score(a1, a2, cfg) == sc
+        if not cfg.is_local:  # gap-stripped strings reproduce the inputs
+            assert a1.replace("-", "") == "".join(BASES[c] for c in s1)
+            assert a2.replace("-", "") == "".join(BASES[c] for c in s2)
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+def test_xla_engine_matches_oracle(mode):
+    from tpualign.ops import xla
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2,
+                        mode=mode)
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        m, n = int(rng.integers(1, 120)), int(rng.integers(1, 120))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        assert xla.score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+
+
+def test_xla_engine_degenerate_lengths():
+    from tpualign.ops import xla
+
+    cfg = ScoringConfig(gap_open=-5, gap_extend=-2)
+    s1, _ = random_pair(7, 1, seed=0)
+    empty = np.asarray([], dtype=np.int8)
+    assert xla.score(s1, empty, cfg) == -5 - 2 * 7
+    assert xla.score(empty, empty, cfg) == 0
+
+
+def test_api_dispatch_and_rejections():
+    from tpualign import align, align_score
+    from tpualign.api import resolve_impl
+    from tpualign.config import EngineConfig
+    from tpualign.ops import band, pallas_diag
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    assert resolve_impl(EngineConfig(), cfg) == "xla"
+    s1, s2 = random_pair(50, 45, seed=3)
+    assert align_score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+    # small alignment rides the oracle's Gotoh backtrace
+    sc, a1, a2 = align(s1, s2, cfg)
+    assert sc == oracle.score(s1, s2, cfg)
+    assert oracle.alignment_score(a1, a2, cfg) == sc
+    # linear-gap engines refuse affine configs instead of silently
+    # scoring with cfg.gap
+    for f in (band.score, pallas_diag.score):
+        with pytest.raises(ValueError):
+            f(s1, s2, cfg, interpret=True)
+    from tpualign.ops import bitpal
+
+    assert bitpal.family(cfg) is None
+
+
+def test_batch_api_affine_falls_back_to_loop():
+    from tpualign import align_score_batch
+
+    cfg = ScoringConfig(match=2, mismatch=-1, gap_open=-4, gap_extend=-1,
+                        mode=AlignMode.LOCAL)
+    texts, queries = [], []
+    for i in range(3):
+        t, q = random_pair(20 + i, 15 + i, seed=100 + i)
+        texts.append(t)
+        queries.append(q)
+    got = align_score_batch(texts, queries, cfg)
+    want = [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
+    assert got.tolist() == want
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        ScoringConfig(gap_open=-2)  # extend missing
+    with pytest.raises(ValueError):
+        ScoringConfig(gap_open=1, gap_extend=-1)  # positive open
+    assert ScoringConfig(gap_open=-2, gap_extend=-1).is_affine
+    assert not ScoringConfig().is_affine

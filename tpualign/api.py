@@ -46,6 +46,11 @@ def resolve_impl(
     """
     if engine.impl != "auto":
         return engine.impl
+    if scoring is not None and scoring.is_affine:
+        # affine (Gotoh) gaps: the XLA three-matrix row scan is the device
+        # engine (the Pallas kernels and the bit-parallel family are
+        # linear-gap designs)
+        return "xla"
     if _platform() != "tpu":
         return "xla"
     import jax
@@ -169,12 +174,20 @@ def align(
         from .ops import oracle
         from .utils import native
 
-        if not scoring.is_local and native.available():
+        if (not scoring.is_local and not scoring.is_affine
+                and native.available()):
             try:  # C++ walk, string-identical to the oracle, ~50x faster
                 return native.traceback(s1, s2, scoring)
             except RuntimeError:
                 pass
         return oracle.traceback(s1, s2, scoring)
+    if scoring.is_affine:
+        # every large-alignment tier (Hirschberg, k-way band, checkpointed
+        # traceback) is a linear-gap design; an affine Hirschberg needs
+        # paired (H, E) split rows — not built yet
+        raise ValueError(
+            "affine-gap alignment currently supports problems up to "
+            f"{FULL_TABLE_CELL_LIMIT} cells (scores run at any size)")
     impl = resolve_impl(engine, scoring)
     if impl == "bitpal":
         from .ops import hirschberg

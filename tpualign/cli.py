@@ -33,6 +33,8 @@ def _scoring(args) -> ScoringConfig:
         mismatch=args.mismatch,
         gap=args.gap,
         mode=AlignMode.LOCAL if args.mode == "sw" else AlignMode.GLOBAL,
+        gap_open=getattr(args, "gap_open", None),
+        gap_extend=getattr(args, "gap_extend", None),
     )
 
 
@@ -42,6 +44,11 @@ def _add_scoring_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--match", type=int, default=1)
     p.add_argument("--mismatch", type=int, default=0)
     p.add_argument("--gap", type=int, default=-1)
+    p.add_argument("--gap-open", type=int, default=None,
+                   help="affine (Gotoh) gaps: a run of L gap columns costs "
+                        "gap_open + L*gap_extend (overrides --gap; set "
+                        "both affine flags together)")
+    p.add_argument("--gap-extend", type=int, default=None)
 
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:

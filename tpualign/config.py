@@ -42,6 +42,13 @@ class ScoringConfig:
     mismatch: int = 0
     gap: int = -1
     mode: AlignMode = AlignMode.GLOBAL
+    # Affine (Gotoh) gaps: a run of L gap columns costs
+    # ``gap_open + L * gap_extend`` (both <= 0).  ``None`` = linear gaps
+    # (cost ``L * gap``; equivalently gap_open=0, gap_extend=gap).  The
+    # reference has no affine mode; this is a beyond-parity capability
+    # served by the oracle/xla/band engines.
+    gap_open: int | None = None
+    gap_extend: int | None = None
 
     def __post_init__(self) -> None:
         for name in ("match", "mismatch", "gap"):
@@ -50,10 +57,27 @@ class ScoringConfig:
                 raise TypeError(f"{name} must be a Python int, got {type(v)}")
         if not isinstance(self.mode, AlignMode):
             raise TypeError(f"mode must be AlignMode, got {type(self.mode)}")
+        if (self.gap_open is None) != (self.gap_extend is None):
+            raise ValueError("gap_open and gap_extend must be set together")
+        if self.gap_open is not None:
+            for name in ("gap_open", "gap_extend"):
+                v = getattr(self, name)
+                if not isinstance(v, int):
+                    raise TypeError(
+                        f"{name} must be a Python int, got {type(v)}")
+                if v > 0:
+                    # open <= 0 also underpins the vectorized E-resolve:
+                    # a gap reopened from a gap-sourced cell never beats
+                    # extending the existing gap
+                    raise ValueError(f"{name} must be <= 0, got {v}")
 
     @property
     def is_local(self) -> bool:
         return self.mode is AlignMode.LOCAL
+
+    @property
+    def is_affine(self) -> bool:
+        return self.gap_open is not None
 
     def with_mode(self, mode: AlignMode) -> "ScoringConfig":
         return dataclasses.replace(self, mode=mode)

@@ -452,6 +452,10 @@ def _colmajor(s2: jax.Array, n: int, nr: int) -> jax.Array:
 
 
 def _check_cfg(cfg: ScoringConfig, total: int) -> None:
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the band kernel's envelope; "
+            "use impl='xla' (or 'oracle')")
     drift = total * max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
     if drift > 2**29:
         raise ValueError("scoring magnitudes too large for int32 headroom")

@@ -493,13 +493,17 @@ def align_global(
     rows: int = 32,
     interpret: bool = False,
 ) -> Tuple[int, str, str]:
-    """Global alignment via k-way band row splits (any scoring params).
+    """Global alignment via k-way band row splits (any linear-gap params).
 
     Two band fills (forward + reverse, one device dispatch each) produce H
     rows at every strip boundary; crossings of the leftmost optimal path
     drop out of ``argmax(F + R)`` per row, and the row bands between them
     are walked by the native C++ traceback in parallel.
     """
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the band alignment's envelope; "
+            "small problems align via the oracle (see api.align)")
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
     m, n = s1.size, s2.size
@@ -652,6 +656,10 @@ def align_local(
     """
     if not cfg.is_local:
         raise ValueError("align_local requires a local (SW) config")
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the band alignment's envelope; "
+            "small problems align via the oracle (see api.align)")
     if cfg.mismatch > 0 or cfg.gap > 0:
         raise ValueError(
             "positive mismatch/gap local configs use the masked engine; "

@@ -59,6 +59,10 @@ def score_batch(
     ``texts[p]`` runs along the boundary axis (columns), ``queries[p]``
     along the strip axis (rows) — matching ``api.align_score(t, q)``.
     """
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the batched band engine's envelope; "
+            "use the per-pair impl='xla' path")
     batch = len(texts)
     assert batch == len(queries) and batch > 0
     if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):

@@ -204,6 +204,10 @@ def score_fn(
     if m == 0 or n == 0:
         base = 0 if cfg.is_local else cfg.gap * (m + n)
         return lambda s1, s2: jnp.int32(base)
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the chunked band engine's envelope; "
+            "use impl='xla' (or 'oracle')")
     if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):
         raise ValueError(
             "masked SW configs are outside the chunked engine's envelope"

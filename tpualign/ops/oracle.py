@@ -26,9 +26,34 @@ import numpy as np
 
 from ..config import AlignMode, ScoringConfig
 
+#: -inf stand-in for the affine gap matrices, far from int64 limits
+NEG = -(np.int64(1) << np.int64(62))
+
 
 def _sub_row(s1: np.ndarray, base: np.int64, cfg: ScoringConfig) -> np.ndarray:
     return np.where(s1 == base, np.int64(cfg.match), np.int64(cfg.mismatch))
+
+
+def _affine_row(H, F, sub, i, jext, open_, ext, local):
+    """One Gotoh row: returns (H_new, F_new) given the previous row.
+
+    ``F`` (vertical gap) is elementwise; the in-row ``E`` (horizontal gap)
+    dependency unrolls — with ``open <= 0`` a gap reopened from a
+    gap-ended cell never beats extending, so
+    ``E[j] = open + j*ext + cummax_{k<j}(T[k] - k*ext)`` over the
+    gap-free candidates ``T`` alone (same max-plus prefix-scan family as
+    the linear engines' row resolve).
+    """
+    M = H.size - 1
+    Fn = np.maximum(H + open_, F) + ext
+    T = np.empty(M + 1, dtype=np.int64)
+    T[0] = 0 if local else open_ + i * ext
+    np.maximum(H[:-1] + sub, Fn[1:], out=T[1:])
+    if local:
+        np.maximum(T, 0, out=T)
+    C = np.maximum.accumulate(T - jext)
+    E = np.concatenate(([NEG], C[:-1])) + open_ + jext
+    return np.maximum(T, E), Fn
 
 
 def score_table(
@@ -40,6 +65,18 @@ def score_table(
     M, N = s1.size, s2.size
     g = np.int64(cfg.gap)
     local = cfg.is_local
+    if cfg.is_affine:
+        open_, ext = np.int64(cfg.gap_open), np.int64(cfg.gap_extend)
+        jext = np.arange(M + 1, dtype=np.int64) * ext
+        H = np.zeros((N + 1, M + 1), dtype=np.int64)
+        if not local:
+            H[0, 1:] = open_ + jext[1:]
+        F = np.full(M + 1, NEG, dtype=np.int64)
+        for i in range(1, N + 1):
+            sub = _sub_row(s1, s2[i - 1], cfg)
+            H[i], F = _affine_row(
+                H[i - 1], F, sub, i, jext, open_, ext, local)
+        return H.astype(np.int32)
     H = np.zeros((N + 1, M + 1), dtype=np.int64)
     jg = np.arange(M + 1, dtype=np.int64) * g
     if not local:
@@ -66,6 +103,20 @@ def score(
     M = s1.size
     g = np.int64(cfg.gap)
     local = cfg.is_local
+    if cfg.is_affine:
+        open_, ext = np.int64(cfg.gap_open), np.int64(cfg.gap_extend)
+        jext = np.arange(M + 1, dtype=np.int64) * ext
+        H = np.zeros(M + 1, dtype=np.int64)
+        if not local:
+            H[1:] = open_ + jext[1:]
+        F = np.full(M + 1, NEG, dtype=np.int64)
+        best = np.int64(0)
+        for i in range(1, s2.size + 1):
+            sub = _sub_row(s1, s2[i - 1], cfg)
+            H, F = _affine_row(H, F, sub, i, jext, open_, ext, local)
+            if local:
+                best = max(best, H.max())
+        return int(best if local else H[-1])
     jg = np.arange(M + 1, dtype=np.int64) * g
     H = np.zeros(M + 1, dtype=np.int64) if local else jg.copy()
     best = np.int64(0)
@@ -98,6 +149,8 @@ def traceback(
 
     s1 = np.asarray(s1, dtype=np.int64)
     s2 = np.asarray(s2, dtype=np.int64)
+    if cfg.is_affine:
+        return _traceback_affine(s1, s2, cfg)
     H = score_table(s1, s2, cfg).astype(np.int64)
     local = cfg.is_local
     if local:
@@ -132,16 +185,100 @@ def traceback(
     return sc, "".join(reversed(a1)), "".join(reversed(a2))
 
 
+def _traceback_affine(
+    s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig
+) -> Tuple[int, str, str]:
+    """Gotoh three-state backtrace from exact H/E/F tables (small inputs).
+
+    The tables use the *sequential* recurrences (not the cummax shortcut)
+    so every per-cell value is exact for predecessor tests.  Tie order
+    mirrors the linear walk: diag > up (F) > left (E); inside a gap state
+    closing (H predecessor) beats extending.
+    """
+    from ..io.bdna import BASES
+
+    M, N = s1.size, s2.size
+    open_, ext = np.int64(cfg.gap_open), np.int64(cfg.gap_extend)
+    local = cfg.is_local
+    H = np.zeros((N + 1, M + 1), dtype=np.int64)
+    E = np.full((N + 1, M + 1), NEG, dtype=np.int64)
+    F = np.full((N + 1, M + 1), NEG, dtype=np.int64)
+    if not local:
+        H[0, 1:] = open_ + np.arange(1, M + 1, dtype=np.int64) * ext
+        H[1:, 0] = open_ + np.arange(1, N + 1, dtype=np.int64) * ext
+    for i in range(1, N + 1):
+        sub = _sub_row(s1, s2[i - 1], cfg)
+        F[i, :] = np.maximum(H[i - 1, :] + open_, F[i - 1, :]) + ext
+        for j in range(1, M + 1):
+            E[i, j] = max(H[i, j - 1] + open_, E[i, j - 1]) + ext
+            h = max(H[i - 1, j - 1] + sub[j - 1], E[i, j], F[i, j])
+            H[i, j] = max(h, 0) if local else h
+    # row-0 E boundary (global): pure left-gap prefix is reachable
+    if not local:
+        for j in range(1, M + 1):
+            E[0, j] = max(H[0, j - 1] + open_, E[0, j - 1]) + ext
+    if local:
+        i, j = np.unravel_index(int(np.argmax(H)), H.shape)
+        sc = int(H[i, j])
+    else:
+        i, j = N, M
+        sc = int(H[i, j])
+    a1: List[str] = []
+    a2: List[str] = []
+    state = "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            if local and H[i, j] == 0:
+                break
+            diag_ok = i > 0 and j > 0
+            if diag_ok:
+                sub = cfg.match if s1[j - 1] == s2[i - 1] else cfg.mismatch
+            if diag_ok and H[i, j] == H[i - 1, j - 1] + sub:
+                a1.append(BASES[s1[j - 1]])
+                a2.append(BASES[s2[i - 1]])
+                i, j = i - 1, j - 1
+            elif i > 0 and H[i, j] == F[i, j]:
+                state = "F"
+            elif j > 0 and H[i, j] == E[i, j]:
+                state = "E"
+            else:  # pragma: no cover - would indicate a broken table
+                raise AssertionError(f"no predecessor at H({i},{j})")
+        elif state == "F":
+            a1.append("-")
+            a2.append(BASES[s2[i - 1]])
+            close = F[i, j] == H[i - 1, j] + open_ + ext
+            i -= 1
+            state = "H" if close else "F"
+        else:  # E
+            a1.append(BASES[s1[j - 1]])
+            a2.append("-")
+            close = E[i, j] == H[i, j - 1] + open_ + ext
+            j -= 1
+            state = "H" if close else "E"
+    return sc, "".join(reversed(a1)), "".join(reversed(a2))
+
+
 def alignment_score(a1: str, a2: str, cfg: ScoringConfig = ScoringConfig()) -> int:
-    """Re-score an aligned pair — property check that a traceback is valid."""
+    """Re-score an aligned pair — property check that a traceback is valid.
+
+    Affine configs charge ``gap_open`` once per maximal gap run plus
+    ``gap_extend`` per gap column; linear configs charge ``gap`` per column.
+    """
     if len(a1) != len(a2):
         raise ValueError("aligned strings differ in length")
     sc = 0
+    in_gap1 = in_gap2 = False
     for x, y in zip(a1, a2):
         if x == "-" or y == "-":
-            sc += cfg.gap
+            if cfg.is_affine:
+                opening = (x == "-" and not in_gap1) or (
+                    y == "-" and not in_gap2)
+                sc += (cfg.gap_open if opening else 0) + cfg.gap_extend
+            else:
+                sc += cfg.gap
         elif x == y:
             sc += cfg.match
         else:
             sc += cfg.mismatch
+        in_gap1, in_gap2 = x == "-", y == "-"
     return sc

@@ -431,6 +431,10 @@ def _prepare(
 def _check_cfg(cfg: ScoringConfig, total: int) -> None:
     """The natural-boundary global kernel needs gap <= 0 (always true for real
     alignment scoring) and headroom so dead-slot drift stays inside int32."""
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the flat wavefront kernel's envelope; "
+            "use impl='xla' (or 'oracle')")
     if not cfg.is_local and cfg.gap > 0:
         raise ValueError("global Pallas kernel requires gap <= 0; use impl='xla'")
     drift = total * max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)

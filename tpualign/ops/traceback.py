@@ -177,6 +177,10 @@ def align_checkpointed(
     ``k`` is the checkpoint stride (block edge).  Identical output to
     ``oracle.traceback`` — checked cell-exactly in tests.
     """
+    if scoring.is_affine:
+        raise ValueError(
+            "affine gaps are outside the checkpointed traceback's envelope; "
+            "small problems align via the oracle (see api.align)")
     s1 = np.asarray(s1, dtype=np.int8)
     s2 = np.asarray(s2, dtype=np.int8)
     M, N = int(s1.size), int(s2.size)

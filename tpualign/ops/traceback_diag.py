@@ -182,6 +182,10 @@ def align_diag(
     Output is string-identical to ``oracle.traceback`` (same tie order and,
     for local mode, the same row-major-first maximum cell).
     """
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the diagonal traceback's envelope; "
+            "small problems align via the oracle (see api.align)")
     s1 = np.asarray(s1, dtype=np.int8)
     s2 = np.asarray(s2, dtype=np.int8)
     m, n = int(s1.size), int(s2.size)

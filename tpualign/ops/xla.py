@@ -56,6 +56,49 @@ def _row_step(
     return v + jg
 
 
+def _affine_rows_scan(
+    s1: jax.Array,
+    s2: jax.Array,
+    cfg: ScoringConfig,
+    h0: jax.Array,
+    left_col: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Gotoh fill: returns (last H row, running max).
+
+    Per row, the vertical-gap matrix ``F`` is elementwise; the in-row
+    horizontal-gap dependency unrolls to a log-depth cummax exactly like
+    the linear engines' resolve (valid because ``gap_open <= 0`` — see
+    ``oracle._affine_row``): ``E = open + j*ext + cummax_{k<j}(T_k - k*ext)``.
+    """
+    M = s1.shape[0]
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    jext = jnp.arange(M + 1, dtype=jnp.int32) * ext
+
+    def step(carry, xs):
+        h_prev, f_prev, best = carry
+        base, l0 = xs
+        sub = jnp.where(s1 == base, match, mismatch)
+        f = jnp.maximum(h_prev + open_, f_prev) + ext
+        t = jnp.maximum(h_prev[:-1] + sub, f[1:])
+        if cfg.is_local:
+            t = jnp.maximum(t, 0)
+        t = jnp.concatenate([l0[None], t])
+        c = jax.lax.associative_scan(jnp.maximum, t - jext)
+        e = jnp.concatenate([NEG_INF[None], c[:-1]]) + open_ + jext
+        h = jnp.maximum(t, e)
+        best = jnp.maximum(best, jnp.max(h))
+        return (h, f, best), h[-1]
+
+    f0 = jnp.full(M + 1, NEG_INF, dtype=jnp.int32)
+    (h_last, _, best), _ = jax.lax.scan(
+        step, (h0, f0, NEG_INF), (s2, left_col)
+    )
+    return h_last, best
+
+
 def _rows_scan(
     s1: jax.Array,
     s2: jax.Array,
@@ -87,6 +130,20 @@ def _score_impl(s1: jax.Array, s2: jax.Array, cfg: ScoringConfig) -> jax.Array:
     M = s1.shape[0]
     N = s2.shape[0]
     g = jnp.int32(cfg.gap)
+    if cfg.is_affine:
+        open_ = jnp.int32(cfg.gap_open)
+        ext = jnp.int32(cfg.gap_extend)
+        if cfg.is_local:
+            h0 = jnp.zeros(M + 1, dtype=jnp.int32)
+            left = jnp.zeros(N, dtype=jnp.int32)
+        else:
+            h0 = open_ + jnp.arange(M + 1, dtype=jnp.int32) * ext
+            h0 = h0.at[0].set(0)
+            left = open_ + (jnp.arange(N, dtype=jnp.int32) + 1) * ext
+        h_last, best = _affine_rows_scan(s1, s2, cfg, h0, left)
+        if cfg.is_local:
+            return jnp.maximum(best, 0)
+        return h_last[-1]
     if cfg.is_local:
         h0 = jnp.zeros(M + 1, dtype=jnp.int32)
         left = jnp.zeros(N, dtype=jnp.int32)
@@ -107,7 +164,10 @@ def score(s1, s2, cfg: ScoringConfig = ScoringConfig()) -> int:
         # degenerate: all-gap alignment (or empty local alignment)
         if cfg.is_local:
             return 0
-        return cfg.gap * (s1.shape[0] + s2.shape[0])
+        L = s1.shape[0] + s2.shape[0]
+        if cfg.is_affine:
+            return 0 if L == 0 else cfg.gap_open + cfg.gap_extend * L
+        return cfg.gap * L
     return int(_score_impl(s1, s2, cfg))
 
 
@@ -132,6 +192,11 @@ def last_row(
     With ``reverse=True`` computes the last row of the suffix problem (both
     sequences reversed), used to find the optimal split column.
     """
+    if cfg.is_affine:
+        # splitting affine problems needs BOTH the H and E rows (a gap
+        # crossing the split must not be double-opened); the Hirschberg
+        # tier is linear/family-only
+        raise ValueError("last_row supports linear-gap configs only")
     s1 = jnp.asarray(s1, dtype=jnp.int32)
     s2 = jnp.asarray(s2, dtype=jnp.int32)
     if reverse:

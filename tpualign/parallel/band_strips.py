@@ -141,6 +141,10 @@ def score_fn(
     if m == 0 or n == 0:
         base = 0 if cfg.is_local else cfg.gap * (m + n)
         return (lambda *a: jnp.int32(base)), (lambda s1, s2: ())
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the sharded band engine's envelope; "
+            "use impl='xla' (or 'oracle')")
     if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):
         raise ValueError(
             "masked SW configs are outside the band engine's envelope")

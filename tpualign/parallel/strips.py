@@ -201,6 +201,11 @@ def score(
     decomposition mirrors ``src/mpi/mpi-vert.cpp`` with ``chunk_rows`` playing
     the role of ``COMMBUF_SIZE``.
     """
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the sharded strip engine's envelope "
+            "(the halo carries H columns only; affine needs H+E); "
+            "use impl='xla'")
     if mesh is None:
         mesh = make_mesh()
     P = mesh.devices.size
@@ -242,6 +247,11 @@ def score_fn(
     Caller must pre-pad: ``s1`` to ``P * ceil(m/P)`` columns, ``s2`` to
     ``n_chunks * chunk`` rows (see :func:`score` for the exact layout).
     """
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the sharded strip engine's envelope "
+            "(the halo carries H columns only; affine needs H+E); "
+            "use impl='xla'")
     if mesh is None:
         mesh = make_mesh()
     P = mesh.devices.size
