@@ -168,6 +168,85 @@ def test_batch_api_affine_falls_back_to_loop():
     assert got.tolist() == want
 
 
+def _check_alignment(s1, s2, cfg, sc, a1, a2):
+    from tpualign.io.bdna import BASES
+
+    assert sc == oracle.score(s1, s2, cfg)
+    assert oracle.alignment_score(a1, a2, cfg) == sc
+    assert a1.replace("-", "") == "".join(BASES[c] for c in s1)
+    assert a2.replace("-", "") == "".join(BASES[c] for c in s2)
+
+
+def test_myers_miller_base_solver_fuzz():
+    from tpualign.ops import affine_align
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        m, n = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        sc, a1, a2 = affine_align.align(s1, s2, cfg)
+        _check_alignment(s1, s2, cfg, sc, a1, a2)
+
+
+def test_myers_miller_recursion_fuzz(monkeypatch):
+    # tiny base forces the bisection (incl. the F-case gap-spanning split
+    # and the tb/te edge waivers) on oracle-checkable sizes
+    from tpualign.ops import affine_align
+
+    monkeypatch.setattr(affine_align, "BASE_CELLS", 256)
+    rng = np.random.default_rng(12)
+    for weights in CFGS:
+        cfg = ScoringConfig(**weights)
+        for _ in range(6):
+            m, n = int(rng.integers(2, 70)), int(rng.integers(4, 70))
+            s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+            sc, a1, a2 = affine_align.align(s1, s2, cfg)
+            _check_alignment(s1, s2, cfg, sc, a1, a2)
+
+
+def test_myers_miller_long_insertion(monkeypatch):
+    # a long vertical gap spanning many split boundaries exercises the
+    # F-case at several recursion levels
+    from tpualign.ops import affine_align
+
+    monkeypatch.setattr(affine_align, "BASE_CELLS", 256)
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    s1a, ins = random_pair(40, 60, seed=77)
+    s1 = np.asarray(s1a)
+    s2 = np.concatenate([s1[:20], np.asarray(ins), s1[20:]]).astype(np.int8)
+    sc, a1, a2 = affine_align.align(s1, s2, cfg)
+    _check_alignment(s1, s2, cfg, sc, a1, a2)
+    # the insertion should surface as one affine run, not fragments
+    assert "-" * 40 in a1
+
+
+def test_myers_miller_device_scan_path():
+    # big enough that the default BASE_CELLS routes through the bucketed
+    # jitted (H, F) scans at least one level deep
+    from tpualign.ops import affine_align
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    s1, s2 = random_pair(1400, 1500, seed=5)
+    sc, a1, a2 = affine_align.align(s1, s2, cfg)
+    _check_alignment(s1, s2, cfg, sc, a1, a2)
+
+
+def test_api_large_affine_alignment(monkeypatch):
+    # api.align routes large affine problems to the Myers-Miller engine
+    from tpualign import api
+
+    monkeypatch.setattr(api, "FULL_TABLE_CELL_LIMIT", 1000)
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    s1, s2 = random_pair(80, 75, seed=6)
+    sc, a1, a2 = api.align(s1, s2, cfg)
+    _check_alignment(s1, s2, cfg, sc, a1, a2)
+    with pytest.raises(ValueError):
+        api.align(s1, s2,
+                  ScoringConfig(gap_open=-5, gap_extend=-2,
+                                mode=AlignMode.LOCAL))
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         ScoringConfig(gap_open=-2)  # extend missing

@@ -182,12 +182,16 @@ def align(
                 pass
         return oracle.traceback(s1, s2, scoring)
     if scoring.is_affine:
-        # every large-alignment tier (Hirschberg, k-way band, checkpointed
-        # traceback) is a linear-gap design; an affine Hirschberg needs
-        # paired (H, E) split rows — not built yet
-        raise ValueError(
-            "affine-gap alignment currently supports problems up to "
-            f"{FULL_TABLE_CELL_LIMIT} cells (scores run at any size)")
+        if scoring.is_local:
+            # the SW locate-and-walk tiers are linear-gap designs
+            raise ValueError(
+                "local affine alignment currently supports problems up to "
+                f"{FULL_TABLE_CELL_LIMIT} cells (scores run at any size)")
+        from .ops import affine_align
+
+        # Myers-Miller bisection over the affine row scan: linear space,
+        # any size
+        return affine_align.align(s1, s2, scoring)
     impl = resolve_impl(engine, scoring)
     if impl == "bitpal":
         from .ops import hirschberg

@@ -1,0 +1,279 @@
+"""Linear-space affine-gap (Gotoh) alignment — Myers-Miller bisection.
+
+The reference never computes alignments at all (``driver.cpp:35``) and has
+no affine mode; this module completes the round-3 affine capability
+(:mod:`tpualign.ops.xla` scores, :func:`oracle.traceback` small problems)
+with alignment at ANY size in O(M + N) memory: Myers & Miller's
+divide-and-conquer (CABIOS 1988) over the device-resident three-matrix row
+scan.
+
+Structure per recursion node (rows split at ``mid = n // 2``):
+
+- a forward scan of rows ``1..mid`` and a reverse scan of rows ``n..mid+1``
+  each return the boundary ``(H, F)`` rows (H = best ending in any state,
+  F = best ending inside a vertical gap);
+- the crossing column is ``argmax_j`` of ``Hf[j] + Hr[m-j]`` (the path
+  touches ``(mid, j)`` gap-free) vs ``Ff[j] + Fr[m-j] - gap_open`` (a
+  vertical gap spans the boundary — its open was charged in both halves,
+  refund one);
+- the F case emits rows ``mid`` and ``mid+1`` as gap columns and recurses
+  with the touching edges' vertical-gap open cost waived (``tb``/``te`` =
+  0 instead of ``gap_open``) — exactly Myers-Miller's ``tb/te`` flags.
+
+Scans are jitted once per power-of-two (columns, rows) bucket: sequences
+pad with a never-matching sentinel (junk stays right of / below the true
+lengths: H flows left-to-right, rows freeze once ``i >= n``), so the
+compile count is O(log^2) of the problem size, not O(nodes) — the same
+discipline as ``hirschberg.align_sharded``'s bucketed solvers.
+
+Base cases solve a flagged full-table Gotoh (the ``tb/te`` edge waivers
+fold into the F init row and the final-state combine) with the oracle's
+three-state backtrace conventions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from ..config import ScoringConfig
+
+#: below this many table cells a node solves the flagged full table directly
+BASE_CELLS = 1 << 20
+
+NEG = -(np.int64(1) << np.int64(40))
+
+
+# ---------------------------------------------------------------------------
+# flagged base solver: full-table Gotoh with edge-gap waivers tb/te
+# ---------------------------------------------------------------------------
+
+
+def _base_align(
+    s1: np.ndarray,
+    s2: np.ndarray,
+    cfg: ScoringConfig,
+    tb: int,
+    te: int,
+) -> Tuple[int, str, str]:
+    """Exact Gotoh alignment of a small block with boundary flags.
+
+    ``tb``/``te`` are the vertical-gap OPEN costs at the top/bottom edges
+    (``cfg.gap_open`` normally; 0 when the parent recursion carries an
+    already-open gap through that edge).  Tie order matches the oracle:
+    diag > up (F) > left (E); closing beats extending.
+    """
+    from ..io.bdna import BASES
+
+    open_, ext = np.int64(cfg.gap_open), np.int64(cfg.gap_extend)
+    tb, te = np.int64(tb), np.int64(te)
+    M, N = s1.size, s2.size
+    jext = np.arange(M + 1, dtype=np.int64) * ext
+    H = np.zeros((N + 1, M + 1), dtype=np.int64)
+    E = np.full((N + 1, M + 1), NEG, dtype=np.int64)
+    F = np.full((N + 1, M + 1), NEG, dtype=np.int64)
+    H[0, 1:] = open_ + jext[1:]
+    F[0, :] = H[0, :] + tb  # row-1 opens cost tb instead of gap_open
+    # Rows fill vectorized; the per-cell E values from the cummax identity
+    # EQUAL the sequential recurrence (a gap reopened from a gap-ended cell
+    # never beats extending, open <= 0), so the backtrace's predecessor
+    # tests below see exact E/F/H everywhere.
+    for i in range(1, N + 1):
+        row_open = tb if i == 1 else open_
+        sub = np.where(s1 == s2[i - 1], np.int64(cfg.match),
+                       np.int64(cfg.mismatch))
+        F[i] = np.maximum(H[i - 1] + row_open, F[i - 1]) + ext
+        T = np.empty(M + 1, dtype=np.int64)
+        T[0] = tb + i * ext
+        np.maximum(H[i - 1, :-1] + sub, F[i, 1:], out=T[1:])
+        C = np.maximum.accumulate(T - jext)
+        E[i, 1:] = C[:-1] + open_ + jext[1:]
+        H[i] = np.maximum(T, E[i])
+    for j in range(1, M + 1):  # row-0 E chain, for the backtrace walk
+        E[0, j] = max(H[0, j - 1] + open_, E[0, j - 1]) + ext
+    # te: the alignment may end inside a vertical gap with the open waived
+    end_f = int(F[N, M] + (te - open_))
+    sc = max(int(H[N, M]), end_f)
+    state = "F" if end_f > int(H[N, M]) else "H"
+    i, j = N, M
+    a1: list = []
+    a2: list = []
+    while i > 0 or j > 0:
+        if state == "H":
+            if j == 0:
+                state = "F"
+                continue
+            if i == 0:
+                a1.append(BASES[s1[j - 1]])
+                a2.append("-")
+                j -= 1
+                continue
+            sub = cfg.match if s1[j - 1] == s2[i - 1] else cfg.mismatch
+            if H[i, j] == H[i - 1, j - 1] + sub:
+                a1.append(BASES[s1[j - 1]])
+                a2.append(BASES[s2[i - 1]])
+                i, j = i - 1, j - 1
+            elif H[i, j] == F[i, j]:
+                state = "F"
+            elif H[i, j] == E[i, j]:
+                state = "E"
+            else:  # pragma: no cover
+                raise AssertionError(f"no predecessor at H({i},{j})")
+        elif state == "F":
+            a1.append("-")
+            a2.append(BASES[s2[i - 1]])
+            row_open = tb if i == 1 else open_
+            close = j > 0 and F[i, j] == H[i - 1, j] + row_open + ext
+            i -= 1
+            state = "H" if close else "F"
+            if i == 0 and state == "F":
+                state = "H"  # top edge reached mid-gap (tb-waived entry)
+        else:  # E
+            a1.append(BASES[s1[j - 1]])
+            a2.append("-")
+            close = i > 0 and E[i, j] == H[i, j - 1] + open_ + ext
+            j -= 1
+            state = "H" if close else "E"
+            if j == 0:
+                state = "H"
+    return sc, "".join(reversed(a1)), "".join(reversed(a2))
+
+
+# ---------------------------------------------------------------------------
+# bucketed device scans: (H, F) boundary rows
+# ---------------------------------------------------------------------------
+
+
+def _bucket(x: int) -> int:
+    return max(8, 1 << (x - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=64)
+def _scan_fn(mb: int, nb: int, cfg: ScoringConfig):
+    """Jitted ``(s1_pad, s2_pad, n, tb) -> (H_row, F_row)`` at true row n.
+
+    Shapes are the padded buckets; column junk beyond the true ``m`` never
+    flows left (the row resolve's cummax runs left-to-right), rows beyond
+    ``n`` are frozen by a ``where`` on the scan carry.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    NEG_INF = jnp.int32(-(2**30))
+
+    @jax.jit
+    def fn(s1p, s2p, n, tb):
+        jext = jnp.arange(mb + 1, dtype=jnp.int32) * ext
+        h0 = open_ + jext
+        h0 = h0.at[0].set(0)
+        f0 = h0 + tb
+
+        def step(carry, xs):
+            h_prev, f_prev = carry
+            base, k = xs
+            sub = jnp.where(s1p == base, match, mismatch)
+            f = jnp.maximum(h_prev + jnp.where(k == 0, tb, open_),
+                            f_prev) + ext
+            t = jnp.maximum(h_prev[:-1] + sub, f[1:])
+            left0 = tb + (k + 1) * ext  # H[i][0] = tb + i*ext
+            t = jnp.concatenate([left0[None], t])
+            c = jax.lax.associative_scan(jnp.maximum, t - jext)
+            e = jnp.concatenate([NEG_INF[None], c[:-1]]) + open_ + jext
+            h = jnp.maximum(t, e)
+            live = k < n
+            h = jnp.where(live, h, h_prev)
+            f = jnp.where(live, f, f_prev)
+            return (h, f), 0
+
+        ks = jnp.arange(nb, dtype=jnp.int32)
+        (h, f), _ = jax.lax.scan(step, (h0, f0), (s2p, ks))
+        return h, f
+
+    return fn
+
+
+#: sentinel code that equals no real base (bases are 1..4)
+_PAD = 9
+
+
+def _scan(s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig, tb: int):
+    """(H, F) rows (numpy, length m+1) after aligning all of ``s2``."""
+    m, n = s1.size, s2.size
+    mb, nb = _bucket(m), _bucket(n)
+    s1p = np.full(mb, _PAD, np.int32)
+    s1p[:m] = s1
+    s2p = np.full(nb, _PAD, np.int32)
+    s2p[:n] = s2
+    import jax.numpy as jnp
+
+    h, f = _scan_fn(mb, nb, cfg)(
+        jnp.asarray(s1p), jnp.asarray(s2p), jnp.int32(n), jnp.int32(tb)
+    )
+    return np.asarray(h)[: m + 1], np.asarray(f)[: m + 1]
+
+
+# ---------------------------------------------------------------------------
+# Myers-Miller recursion
+# ---------------------------------------------------------------------------
+
+
+def _solve(s1, s2, cfg, tb, te, a1: list, a2: list) -> None:
+    from ..io.bdna import BASES
+
+    m, n = s1.size, s2.size
+    if (m + 1) * (n + 1) <= BASE_CELLS or n < 2:
+        _, b1, b2 = _base_align(s1, s2, cfg, tb, te)
+        a1.append(b1)
+        a2.append(b2)
+        return
+    mid = n // 2
+    hf, ff = _scan(s1, s2[:mid], cfg, tb)
+    hr, fr = _scan(s1[::-1], s2[mid:][::-1], cfg, te)
+    h_case = hf + hr[::-1]
+    f_case = ff + fr[::-1] - np.int64(cfg.gap_open)
+    jh = int(np.argmax(h_case))
+    jf = int(np.argmax(f_case))
+    if h_case[jh] >= f_case[jf]:  # path touches (mid, jh) gap-free
+        _solve(s1[:jh], s2[:mid], cfg, tb, cfg.gap_open, a1, a2)
+        _solve(s1[jh:], s2[mid:], cfg, cfg.gap_open, te, a1, a2)
+    else:  # a vertical gap spans rows mid..mid+1 at column jf
+        _solve(s1[:jf], s2[: mid - 1], cfg, tb, 0, a1, a2)
+        a1.append("--")
+        a2.append(BASES[s2[mid - 1]] + BASES[s2[mid]])
+        _solve(s1[jf:], s2[mid + 1:], cfg, 0, te, a1, a2)
+
+
+def align(
+    s1,
+    s2,
+    cfg: ScoringConfig,
+) -> Tuple[int, str, str]:
+    """Global affine-gap alignment in linear space, any size.
+
+    Returns ``(score, a1, a2)`` like :func:`oracle.traceback`; the path is
+    optimal (tie choices may differ from the oracle's conventions — the
+    score and validity are what is guaranteed, as with Hirschberg).
+    """
+    if not cfg.is_affine:
+        raise ValueError("align() in affine_align requires an affine config")
+    if cfg.is_local:
+        raise ValueError(
+            "local affine alignment is table-bounded for now; "
+            "see api.align")
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+    from .xla import score as xla_score
+
+    sc = xla_score(s1, s2, cfg)
+    a1: list = []
+    a2: list = []
+    if s1.size == 0 and s2.size == 0:
+        return sc, "", ""
+    _solve(s1, s2, cfg, cfg.gap_open, cfg.gap_open, a1, a2)
+    return sc, "".join(a1), "".join(a2)
