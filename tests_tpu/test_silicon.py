@@ -176,3 +176,31 @@ def test_mid_alignment_valid(corpus_pair):
     assert sc == bitpal.score(s1, s2)
     assert a1.replace("-", "") == "".join("-ATGC"[c] for c in s1)
     assert a2.replace("-", "") == "".join("-ATGC"[c] for c in s2)
+
+
+def test_affine_scoring_on_chip():
+    # affine (Gotoh) configs: XLA engine compiles + agrees with the oracle
+    from tpualign import align_score
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import oracle
+
+    for mode in (AlignMode.GLOBAL, AlignMode.LOCAL):
+        cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5,
+                            gap_extend=-2, mode=mode)
+        s1, s2 = random_pair(3000, 2800, seed=17)
+        assert align_score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+
+
+def test_affine_alignment_on_chip():
+    # Myers-Miller bisection rides the device scans on the chip
+    from tpualign import align
+    from tpualign.config import ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import affine_align, oracle
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    s1, s2 = random_pair(2000, 2100, seed=18)
+    sc, a1, a2 = affine_align.align(s1, s2, cfg)
+    assert oracle.alignment_score(a1, a2, cfg) == sc
+    assert sc == oracle.score(s1, s2, cfg)

@@ -30,7 +30,7 @@ if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8083' 2>/dev/null; then
   exit 2
 fi
 
-# 1) on-silicon gate (19 tests incl. the lean/base A/B)
+# 1) on-silicon gate (21 tests incl. the lean/base A/B + affine)
 run tests_tpu 3000 python -m pytest tests_tpu/ -q
 
 # 2) headline + A/B + chunked-band large-scale rows
