@@ -143,14 +143,18 @@ def test_api_dispatch_and_rejections():
     sc, a1, a2 = align(s1, s2, cfg)
     assert sc == oracle.score(s1, s2, cfg)
     assert oracle.alignment_score(a1, a2, cfg) == sc
-    # linear-gap engines refuse affine configs instead of silently
-    # scoring with cfg.gap
-    for f in (band.score, pallas_diag.score):
-        with pytest.raises(ValueError):
-            f(s1, s2, cfg, interpret=True)
+    # linear-gap-only engines refuse affine configs instead of silently
+    # scoring with cfg.gap; the band kernel supports affine (tested below)
+    with pytest.raises(ValueError):
+        pallas_diag.score(s1, s2, cfg, interpret=True)
+    from tpualign.ops import band_chunked
+
+    with pytest.raises(ValueError):
+        band_chunked.score(s1, s2, cfg, interpret=True)
     from tpualign.ops import bitpal
 
     assert bitpal.family(cfg) is None
+    assert band is not None  # (band's affine mode: test_band_affine_*)
 
 
 def test_batch_api_affine_falls_back_to_loop():
@@ -166,6 +170,88 @@ def test_batch_api_affine_falls_back_to_loop():
     got = align_score_batch(texts, queries, cfg)
     want = [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
     assert got.tolist() == want
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+@pytest.mark.parametrize("weights", CFGS)
+def test_band_affine_small(mode, weights):
+    # the band kernel's Gotoh mode (E plane + shifted-F plane + dual
+    # boundary rows) vs the oracle on single-strip shapes
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(mode=mode, **weights)
+    rng = np.random.default_rng(21)
+    for _ in range(3):
+        m, n = int(rng.integers(1, 90)), int(rng.integers(1, 80))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        got = band.score(s1, s2, cfg, rows=8, interpret=True)
+        assert got == oracle.score(s1, s2, cfg), (m, n, weights, mode)
+
+
+def test_band_affine_multi_lane():
+    # n > nr crosses lanes: the F hand-off rides the pendf ring
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    s1, s2 = random_pair(100, 40, seed=31)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+@pytest.mark.parametrize("n", [1025, 1500])
+def test_band_affine_multi_strip(n):
+    # n > R = 1024 forces the strip hand-off through BOTH boundary rows
+    # (H and F) in SMEM
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    s1, s2 = random_pair(60, n, seed=n)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_band_affine_multi_strip_local():
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=3, mismatch=-2, gap_open=-4, gap_extend=-1,
+                        mode=AlignMode.LOCAL)
+    s1, s2 = random_pair(60, 1200, seed=77)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_band_affine_swap_orientation():
+    # m beyond the affine boundary cap is impossible to fake cheaply, but
+    # orientation swapping (boundary = longer side) is: m >> n
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    s1, s2 = random_pair(1500, 60, seed=3)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_band_affine_long_gap_runs():
+    # structured pair whose optimum needs long affine runs (deletions on
+    # both sides) — stresses E/F chains rather than diagonal matches
+    from tpualign.io.bdna import encode
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=1, mismatch=-4, gap_open=-2, gap_extend=-1)
+    s1 = encode("ACGT" * 30)
+    s2 = encode("AC" + "G" * 45 + "GT" + "A" * 20)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_band_affine_rejects_masked_local():
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=2, mismatch=1, gap_open=-5, gap_extend=-2,
+                        mode=AlignMode.LOCAL)
+    s1, s2 = random_pair(30, 30, seed=1)
+    with pytest.raises(ValueError):
+        band.score(s1, s2, cfg, rows=8, interpret=True)
 
 
 def _check_alignment(s1, s2, cfg, sc, a1, a2):

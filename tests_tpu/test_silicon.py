@@ -179,17 +179,22 @@ def test_mid_alignment_valid(corpus_pair):
 
 
 def test_affine_scoring_on_chip():
-    # affine (Gotoh) configs: XLA engine compiles + agrees with the oracle
+    # affine (Gotoh) configs: the band kernel's Gotoh mode (the auto
+    # engine on TPU) and the XLA scan both compile on Mosaic/XLA and
+    # agree with the oracle
     from tpualign import align_score
     from tpualign.config import AlignMode, ScoringConfig
     from tpualign.io.bdna import random_pair
-    from tpualign.ops import oracle
+    from tpualign.ops import band, oracle, xla
 
     for mode in (AlignMode.GLOBAL, AlignMode.LOCAL):
         cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5,
                             gap_extend=-2, mode=mode)
         s1, s2 = random_pair(3000, 2800, seed=17)
-        assert align_score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+        want = oracle.score(s1, s2, cfg)
+        assert align_score(s1, s2, cfg) == want  # auto -> band on TPU
+        assert band.score(s1, s2, cfg) == want
+        assert xla.score(s1, s2, cfg) == want
 
 
 def test_affine_alignment_on_chip():

@@ -73,20 +73,24 @@ def main():
                     "gcups": round(r.gcups_best), "score": r.score})
         print(json.dumps(out[-1]), flush=True)
 
-    # --- affine (Gotoh) scoring wall: mid corpus via the XLA scan ---
+    # --- affine (Gotoh) scoring walls: mid corpus, band kernel vs XLA ---
     a1 = read_bdna("/root/reference/bdna/mid1.bdna")
     a2 = read_bdna("/root/reference/bdna/mid2.bdna")
     AFF = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    from tpualign.ops import band as band_ops
     from tpualign.ops import xla as xla_ops
 
-    fna = jax.jit(xla_ops.score_fn(AFF))
     da1, da2 = jnp.asarray(a1, jnp.int32), jnp.asarray(a2, jnp.int32)
-    r = time_device_fn(fna, (da1, da2), label="mid-affine-xla",
-                       cells=len(a1) * len(a2))
-    out.append({"pair": "mid corpus", "engine": "xla-affine(2/-3,-5/-2)",
-                "wall_s": round(r.wall_s_best, 4),
-                "gcups": round(r.gcups_best, 1), "score": r.score})
-    print(json.dumps(out[-1]), flush=True)
+    for eng, fn in (
+        ("band-affine", jax.jit(band_ops.score_fn(len(a1), len(a2), AFF))),
+        ("xla-affine", jax.jit(xla_ops.score_fn(AFF))),
+    ):
+        r = time_device_fn(fn, (da1, da2), label=f"mid-{eng}",
+                           cells=len(a1) * len(a2))
+        out.append({"pair": "mid corpus", "engine": f"{eng}(2/-3,-5/-2)",
+                    "wall_s": round(r.wall_s_best, 4),
+                    "gcups": round(r.gcups_best, 1), "score": r.score})
+        print(json.dumps(out[-1]), flush=True)
 
     # --- 400k x 398k: beyond MAX_BOUNDARY on BOTH axes -> chunked engine ---
     t1, t2 = random_pair(400_000, 398_000, seed=400)

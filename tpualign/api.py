@@ -47,10 +47,10 @@ def resolve_impl(
     if engine.impl != "auto":
         return engine.impl
     if scoring is not None and scoring.is_affine:
-        # affine (Gotoh) gaps: the XLA three-matrix row scan is the device
-        # engine (the Pallas kernels and the bit-parallel family are
-        # linear-gap designs)
-        return "xla"
+        # affine (Gotoh) gaps: the band kernel runs the three-matrix
+        # recurrence on TPU (round 3); the XLA row scan is the portable
+        # engine and the past-cap fallback
+        return "band" if _platform() == "tpu" else "xla"
     if _platform() != "tpu":
         return "xla"
     import jax
@@ -134,7 +134,8 @@ def align_score(
         try:
             return band.score(s1, s2, scoring, interpret=engine.interpret)
         except ValueError:  # outside the boundary-row envelope
-            impl = "band-chunked"
+            # (the chunked tier is linear-gap; affine falls to the scan)
+            impl = "xla" if scoring.is_affine else "band-chunked"
     if impl == "band-chunked":
         from .ops import band_chunked
 

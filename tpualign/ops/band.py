@@ -96,6 +96,9 @@ UNROLL = 8
 #: text must fit SMEM (~1 MB) alongside loop scalars
 MAX_BOUNDARY = 200_000
 
+#: affine carries a second boundary row (the F chain), so its cap halves
+MAX_BOUNDARY_AFFINE = 90_000
+
 #: strip-axis guard (HBM for the column-major char layout, ~4 B/char)
 MAX_STRIP_AXIS = 1 << 30
 
@@ -153,14 +156,25 @@ def _band_kernel_body(
     pendv_ref,  # (8, LANES) value hand-off ring (lane-rolled tail rows)
     pendw_ref,  # (8, LANES) char-window hand-off ring
     b_ref,  # SMEM (m + 3,) boundary row H(i0, :)
+    # affine (Gotoh) only — E plane, shifted-F plane, F hand-off ring,
+    # F boundary row (see the affine notes in the substep)
+    *aff,
 ):
     match = vdt(cfg.match)
     mismatch = vdt(cfg.mismatch)
     g = vdt(cfg.gap)
+    affine = cfg.is_affine
+    if affine:
+        e_ref, fs_ref, pendf_ref, bf_ref = aff
+        open_ = vdt(cfg.gap_open)
+        ext = vdt(cfg.gap_extend)
+        g = ext  # head_base spacing: H(i, 0) = open + i*ext (global)
     local = cfg.is_local
     # pad/dead cells only decay under these signs; the rare SW config
-    # outside them keeps a masked running max (correct, a little slower)
-    unmasked_vmax = cfg.mismatch <= 0 and cfg.gap <= 0
+    # outside them keeps a masked running max (correct, a little slower).
+    # Affine opens/extends are <= 0 by construction (_check_cfg rejects
+    # positive-mismatch local affine).
+    unmasked_vmax = cfg.mismatch <= 0 and (affine or cfg.gap <= 0)
     R = nr * LANES
     phase, k_flat = _phase_grid(nr)
     lane_is0 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
@@ -182,9 +196,18 @@ def _band_kernel_body(
     if local:
         live_ramp = None  # built per strip (needs i_mask) when masked
 
-    # --- strip-0 boundary row: H(0, j) = j * gap (0 for SW) ---
+    # --- strip-0 boundary row: H(0, j) = j * gap (0 for SW); affine
+    # H(0, j>=1) = open + j*ext and F(0, :) = -inf (no gap above row 0) ---
     def binit(j, _):
-        b_ref[j] = vdt(0) if local else jnp.int32(j).astype(vdt) * g
+        jv = jnp.int32(j).astype(vdt)
+        if local:
+            b_ref[j] = vdt(0)
+        elif affine:
+            b_ref[j] = jnp.where(j == 0, vdt(0), open_ + jv * ext)
+        else:
+            b_ref[j] = jv * g
+        if affine:
+            bf_ref[j] = vdt(NEG_INF)
         return 0
 
     jax.lax.fori_loop(0, m + 1, binit, 0, unroll=False)
@@ -193,7 +216,14 @@ def _band_kernel_body(
 
     def strip(s, aux_in):
         i0 = s * R  # boundary row index: B = H(i0, :)
-        i0g = vdt(0) if local else jnp.int32(i0).astype(vdt) * g
+        if local:
+            i0g = vdt(0)
+        elif affine:
+            i0g = jnp.where(
+                i0 == 0, vdt(0), open_ + jnp.int32(i0).astype(vdt) * ext
+            )
+        else:
+            i0g = jnp.int32(i0).astype(vdt) * g
         a0_ref[:] = neg
         a0s_ref[:] = neg
         a1_ref[:] = neg
@@ -201,8 +231,21 @@ def _band_kernel_body(
         w_ref[:] = jnp.zeros((nr, LANES), jnp.int32)
         pendv_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
         pendw_ref[:] = jnp.zeros((8, LANES), jnp.int32)
+        if affine:
+            e_ref[:] = neg  # E = left-gap plane: decays until H is real
+            fs_ref[:] = neg  # shifted F plane (up-gap), H's shift discipline
+            pendf_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
+            # F(i0, 0): the column-0 gap chain equals H(i0, 0) globally
+            # (NEG on strip 0 / in local mode — it feeds only the injected
+            # column-0 H, any sane value works)
+            bf0 = vdt(NEG_INF) if local else jnp.where(
+                i0 == 0, vdt(NEG_INF), i0g
+            )
         if local:  # SW boundary: H(i, 0) = 0
             head_vals = jnp.zeros((nr, LANES), vdt)
+        elif affine:  # H(i0+1+k, 0) = open + (i0+1+k) * ext
+            head_vals = open_ + (jnp.int32(i0 + 1).astype(vdt)) * ext \
+                + head_base
         else:
             head_vals = (jnp.int32(i0 + 1).astype(vdt)) * g + head_base
         s2cm = s2cm_ref[pl.ds(s * nr, nr), :]
@@ -214,8 +257,8 @@ def _band_kernel_body(
         t_snap = jnp.where(is_last, t_star, -1)
         fix_snap0 = snap_r0 == 0  # snapshot tile contains the cand-fixed row
 
-        def substep(t, u, bjm1, bj, c0s, aux, a_ref, as_ref, oa_ref,
-                    oas_ref, ramp=True):
+        def substep(t, u, bjm1, bj, bjf, c0s, e0s, aux, a_ref, as_ref,
+                    oa_ref, oas_ref, ramp=True):
             # --- char window (slides exactly like the value buffers) ---
             idx = jnp.clip(t - 1, 0, m - 1)
             ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
@@ -235,15 +278,35 @@ def _band_kernel_body(
             # on the scalar core — no plane-wide select, no sub-vreg store.
             # ``bjm1``/``bj`` are read per block (no serial carry on B). ---
             sub0 = jnp.where(s2_first == ch, match, mismatch)
-            cand = jnp.maximum(bjm1 + sub0, bj + g)
-            cand = jnp.where(t >= 1, cand, vdt(NEG_INF))
-            c0s = jnp.maximum(cand, c0s + g)
+            if affine:
+                # Gotoh top row: the up-gap F(i0+1, t) closes/extends from
+                # BOTH boundary rows; the left-gap E rides a second scalar
+                # carry; the diag stays B_H[t-1] + sub
+                f0s = jnp.maximum(bj + open_, bjf) + ext
+                e0s = jnp.maximum(c0s + open_, e0s) + ext
+                cand = jnp.where(t >= 1, bjm1 + sub0, vdt(NEG_INF))
+                c0s = jnp.maximum(jnp.maximum(cand, e0s), f0s)
+            else:
+                cand = jnp.maximum(bjm1 + sub0, bj + g)
+                cand = jnp.where(t >= 1, cand, vdt(NEG_INF))
+                c0s = jnp.maximum(cand, c0s + g)
             if local:
                 c0s = jnp.maximum(c0s, vdt(0))
             # --- the recurrence (oas still holds shift(diag t-2)) ---
-            new = jnp.maximum(
-                oas_ref[:] + sub, jnp.maximum(a_ref[:], as_ref[:]) + g
-            )
+            if affine:
+                # E: left gap — the left cell is this slot one step ago
+                # (a_ref), so E never crosses sublanes or lanes; F: up gap —
+                # fs_ref carries the previous step's F plane SHIFTED, by
+                # exactly H's shift/ring discipline below
+                e_new = jnp.maximum(a_ref[:] + open_, e_ref[:]) + ext
+                f_new = jnp.maximum(as_ref[:] + open_, fs_ref[:]) + ext
+                new = jnp.maximum(
+                    oas_ref[:] + sub, jnp.maximum(e_new, f_new)
+                )
+            else:
+                new = jnp.maximum(
+                    oas_ref[:] + sub, jnp.maximum(a_ref[:], as_ref[:]) + g
+                )
             if local:
                 new = jnp.maximum(new, vdt(0))
             if ramp:  # wavefront head j=0; dead once t > max phase
@@ -296,28 +359,53 @@ def _band_kernel_body(
             pendw_ref[u % 8 : u % 8 + 1, :] = _lane_shift(
                 w_new[nr - 1 : nr, :]
             )
-            return c0s, aux
+            if affine:
+                e_ref[:] = e_new
+                # F's shift + ring, mirroring H's (fs next step = up cells)
+                f0 = jnp.where(lane_is0, f0s, f_new[0:1, :])
+                fv_row0 = jnp.where(
+                    lane_is0,
+                    vdt(NEG_INF),
+                    pendf_ref[(u - 2) % 8 : (u - 2) % 8 + 1, :],
+                )
+                if nr > 1:
+                    fs_ref[:] = jnp.concatenate(
+                        [fv_row0, f0, f_new[1 : nr - 1, :]], axis=0
+                    )
+                else:
+                    fs_ref[:] = fv_row0
+                ftail = f0 if nr == 1 else f_new[nr - 1 : nr, :]
+                pendf_ref[u % 8 : u % 8 + 1, :] = _lane_shift(ftail)
+            return c0s, e0s, aux
 
         def block_impl(tt, carry, ramp):
-            c0s, aux = carry
+            c0s, e0s, aux = carry
             t0 = tt * unroll
             # B[t0-1 .. t0+unroll-1] read up front: in-block boundary writes
             # trail by p_max >= 132 steps, so an early read is always safe
             bv = []
+            bfv = []
             for u in range(-1, unroll):
                 t = t0 + u
                 b = b_ref[jnp.clip(t, 0, m)]
                 bv.append(jnp.where(t == 0, i0g, b))
+                if affine:
+                    bf = bf_ref[jnp.clip(t, 0, m)]
+                    bfv.append(jnp.where(t == 0, bf0, bf))
+                else:
+                    bfv.append(None)
             for u in range(unroll):
                 t = t0 + u
                 if u % 2 == 0:
-                    c0s, aux = substep(t, u, bv[u], bv[u + 1], c0s, aux,
-                                       a0_ref, a0s_ref, a1_ref, a1s_ref,
-                                       ramp=ramp)
+                    c0s, e0s, aux = substep(t, u, bv[u], bv[u + 1],
+                                            bfv[u + 1], c0s, e0s, aux,
+                                            a0_ref, a0s_ref, a1_ref,
+                                            a1s_ref, ramp=ramp)
                 else:
-                    c0s, aux = substep(t, u, bv[u], bv[u + 1], c0s, aux,
-                                       a1_ref, a1s_ref, a0_ref, a0s_ref,
-                                       ramp=ramp)
+                    c0s, e0s, aux = substep(t, u, bv[u], bv[u + 1],
+                                            bfv[u + 1], c0s, e0s, aux,
+                                            a1_ref, a1s_ref, a0_ref,
+                                            a0s_ref, ramp=ramp)
                 if u % 8 == 7:
                     # --- bottom row -> next boundary, batched per 8 steps
                     # (the ring is 8 deep: flush before slots recycle).
@@ -331,7 +419,9 @@ def _band_kernel_body(
                         ok = jnp.logical_and(j_out >= 1, j_out <= m)
                         idx = jnp.where(ok, j_out, m + 2)  # write-off slot
                         b_ref[idx] = pendv_ref[uu % 8, 0]
-            return c0s, aux
+                        if affine:
+                            bf_ref[idx] = pendf_ref[uu % 8, 0]
+            return c0s, e0s, aux
 
         def block_ramp(tt, c):
             return block_impl(tt, c, True)
@@ -342,14 +432,18 @@ def _band_kernel_body(
         # head injections only happen while t <= max phase: split the sweep
         # so the steady-state blocks skip the injection select entirely
         t_head = min(t_steps, _round_up(p_max + 2, unroll))
+        # linear: the c0s carry seeds the left chain with H(i0, 0); affine
+        # seeds NEG (t=0 derives H(i0+1, 0) from the boundary F instead)
+        c0s0 = vdt(NEG_INF) if affine else i0g
         carry = jax.lax.fori_loop(
-            0, t_head // unroll, block_ramp, (i0g, aux_in), unroll=False
+            0, t_head // unroll, block_ramp, (c0s0, vdt(NEG_INF), aux_in),
+            unroll=False,
         )
         carry = jax.lax.fori_loop(
             t_head // unroll, t_steps // unroll, block_steady, carry,
             unroll=False,
         )
-        return carry[1]
+        return carry[2]
 
     aux0 = vdt(0) if local else vdt(NEG_INF)
     aux_out = jax.lax.fori_loop(
@@ -406,6 +500,11 @@ def _band_call(
     scratch.append(pltpu.VMEM((8, LANES), vdt))  # pendv ring
     scratch.append(pltpu.VMEM((8, LANES), jnp.int32))  # pendw ring
     scratch.append(pltpu.SMEM((m + 3,), vdt))  # boundary + dump slot
+    if cfg.is_affine:
+        scratch.append(pltpu.VMEM((nr, LANES), vdt))  # E (left-gap) plane
+        scratch.append(pltpu.VMEM((nr, LANES), vdt))  # shifted F plane
+        scratch.append(pltpu.VMEM((8, LANES), vdt))  # F hand-off ring
+        scratch.append(pltpu.SMEM((m + 3,), vdt))  # F boundary row
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), vdt),
@@ -451,37 +550,45 @@ def _colmajor(s2: jax.Array, n: int, nr: int) -> jax.Array:
     )
 
 
-def _check_cfg(cfg: ScoringConfig, total: int) -> None:
+def _wmax(cfg: ScoringConfig) -> int:
+    """Largest per-step value change (drift/f32-exactness bound)."""
     if cfg.is_affine:
+        return max(abs(cfg.match), abs(cfg.mismatch),
+                   abs(cfg.gap_open) + abs(cfg.gap_extend), 1)
+    return max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
+
+
+def _check_cfg(cfg: ScoringConfig, total: int) -> None:
+    if cfg.is_affine and cfg.is_local and cfg.mismatch > 0:
+        # the unmasked running max needs decaying dead cells; the masked
+        # fallback only exists on the linear path
         raise ValueError(
-            "affine gaps are outside the band kernel's envelope; "
-            "use impl='xla' (or 'oracle')")
-    drift = total * max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
-    if drift > 2**29:
+            "positive-mismatch local affine configs are outside the band "
+            "kernel's envelope; use impl='xla'")
+    if total * _wmax(cfg) > 2**29:
         raise ValueError("scoring magnitudes too large for int32 headroom")
 
 
 def _wants_f32(cfg: ScoringConfig, m: int, n: int) -> bool:
     """True when every value the kernel can produce is a 24-bit-exact
     integer in float32 (score paths bounded by (m+n+2) * wmax)."""
-    wmax = max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
-    return (m + n + 2) * wmax < F32_EXACT
+    return (m + n + 2) * _wmax(cfg) < F32_EXACT
 
 
-def _orient(m: int, n: int):
+def _orient(m: int, n: int, cap: int = MAX_BOUNDARY):
     """Pick (boundary_axis_len, strip_axis_len, swapped).
 
     Total steps ~ (strip/R)*(boundary + R): fewer with strips on the shorter
     side, but the boundary side must fit SMEM.  Score is symmetric.
     """
     lo, hi = (m, n) if m <= n else (n, m)
-    if hi <= MAX_BOUNDARY:
+    if hi <= cap:
         return hi, lo  # boundary = longer, strips = shorter
-    if lo <= MAX_BOUNDARY:
+    if lo <= cap:
         return lo, hi  # boundary = shorter, strips = longer (unbounded)
     raise ValueError(
         f"both sequences exceed the boundary-row capacity "
-        f"({MAX_BOUNDARY}); use the sharded engine or impl='xla'"
+        f"({cap}); use the sharded engine or impl='xla'"
     )
 
 
@@ -498,10 +605,18 @@ def score_fn(
     (columns), ``n = len(s2)`` (rows).  ``rows`` is the strip depth knob
     (NR sublanes, R = NR*128 DP rows per strip)."""
     if m == 0 or n == 0:
-        base = 0 if cfg.is_local else cfg.gap * (m + n)
+        if cfg.is_local:
+            base = 0
+        elif cfg.is_affine:
+            base = 0 if m + n == 0 else cfg.gap_open + cfg.gap_extend * (
+                m + n)
+        else:
+            base = cfg.gap * (m + n)
         return lambda s1, s2: jnp.int32(base)
     _check_cfg(cfg, m + n)
-    mb, ns = _orient(m, n)
+    # affine carries a second boundary row (F) in SMEM: halve the cap
+    mb, ns = _orient(m, n, MAX_BOUNDARY_AFFINE if cfg.is_affine
+                     else MAX_BOUNDARY)
     swapped = mb != m  # boundary axis carries s2, strips carry s1
     use_f32 = _wants_f32(cfg, m, n)
 
@@ -548,7 +663,12 @@ def score(
     s2 = jnp.asarray(s2, jnp.int32)
     m, n = int(s1.shape[0]), int(s2.shape[0])
     if m == 0 or n == 0:
-        return 0 if cfg.is_local else cfg.gap * (m + n)
+        if cfg.is_local:
+            return 0
+        if cfg.is_affine:
+            L = m + n
+            return 0 if L == 0 else cfg.gap_open + cfg.gap_extend * L
+        return cfg.gap * (m + n)
     if max(m, n) > MAX_STRIP_AXIS:
         raise ValueError("sequence too long for the banded kernel")
     return int(score_fn(m, n, cfg, rows=rows, interpret=interpret)(s1, s2))
