@@ -116,6 +116,49 @@ int64_t align_score_native(const int8_t* s1, int64_t m,
   return local ? best : row[(size_t)m];
 }
 
+// Affine-gap (Gotoh) row-scan score in O(M) memory: a run of L gap
+// columns costs open + L*ext (both <= 0).  Sequential three-row
+// recurrence — the independent verifier for the JAX affine engines
+// (tpualign/ops/xla.py, ops/band.py's affine mode).
+//   mode 0: global, boundaries H(0,j) = open + j*ext;  mode 1: local.
+int64_t affine_score_native(const int8_t* s1, int64_t m,
+                            const int8_t* s2, int64_t n,
+                            int64_t match, int64_t mismatch,
+                            int64_t open_, int64_t ext, int mode) {
+  const bool local = (mode == 1);
+  if (m <= 0 || n <= 0) {
+    if (local || m + n == 0) return 0;
+    return open_ + (int64_t)(m + n) * ext;
+  }
+  const int64_t NEG = INT64_MIN / 4;
+  std::vector<int64_t> H((size_t)m + 1), F((size_t)m + 1, NEG);
+  for (int64_t j = 0; j <= m; ++j)
+    H[(size_t)j] = (local || j == 0) ? 0 : open_ + j * ext;
+  int64_t best = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t diag = H[0];
+    int64_t e = NEG;                            // E[i][0]
+    H[0] = local ? 0 : open_ + i * ext;
+    const int8_t c2 = s2[i - 1];
+    int64_t left = H[0];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t up = H[(size_t)j];
+      F[(size_t)j] = std::max(up + open_, F[(size_t)j]) + ext;
+      e = std::max(left + open_, e) + ext;
+      int64_t v = diag + (s1[j - 1] == c2 ? match : mismatch);
+      v = std::max(v, std::max(e, F[(size_t)j]));
+      if (local) {
+        v = std::max<int64_t>(v, 0);
+        best = std::max(best, v);
+      }
+      diag = up;
+      H[(size_t)j] = v;
+      left = v;
+    }
+  }
+  return local ? best : H[(size_t)m];
+}
+
 // Full-table fill + traceback walk. Writes the edit path (from the END;
 // caller reverses) into ops_out as 0 = diag, 1 = up (gap in s1), 2 = left
 // (gap in s2); returns the path length and the score via score_out.

@@ -333,6 +333,24 @@ def test_api_large_affine_alignment(monkeypatch):
                                 mode=AlignMode.LOCAL))
 
 
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+def test_native_affine_scorer(mode):
+    # the independent C++ Gotoh row scan (the --check native verifier for
+    # affine bench rows) vs the oracle
+    from tpualign.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(41)
+    for weights in CFGS:
+        cfg = ScoringConfig(mode=mode, **weights)
+        m, n = int(rng.integers(1, 200)), int(rng.integers(1, 200))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        assert native.score(s1, s2, cfg) == oracle.score(s1, s2, cfg)
+    with pytest.raises(RuntimeError):
+        native.traceback(s1, s2, ScoringConfig(gap_open=-2, gap_extend=-1))
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         ScoringConfig(gap_open=-2)  # extend missing

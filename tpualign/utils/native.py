@@ -55,6 +55,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
     ]
     lib.align_score_native.restype = ctypes.c_int64
+    lib.affine_score_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    lib.affine_score_native.restype = ctypes.c_int64
     i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
     lib.traceback_native.argtypes = [
         i8p, ctypes.c_int64, i8p, ctypes.c_int64,
@@ -99,6 +105,14 @@ def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
         raise RuntimeError("native library unavailable")
     s1 = np.ascontiguousarray(s1, dtype=np.int8)
     s2 = np.ascontiguousarray(s2, dtype=np.int8)
+    if cfg.is_affine:
+        return int(
+            lib.affine_score_native(
+                s1, s1.size, s2, s2.size,
+                cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_extend,
+                1 if cfg.is_local else 0,
+            )
+        )
     return int(
         lib.align_score_native(
             s1, s1.size, s2, s2.size,
@@ -117,6 +131,10 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
 
     if cfg is None:
         cfg = ScoringConfig()
+    if cfg.is_affine:
+        raise RuntimeError(
+            "native traceback is linear-gap only; the oracle's three-state "
+            "walk serves affine configs")
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
