@@ -81,15 +81,21 @@ def main():
     from tpualign.ops import xla as xla_ops
 
     da1, da2 = jnp.asarray(a1, jnp.int32), jnp.asarray(a2, jnp.int32)
+    from tpualign.utils import native
+
+    aff_want = native.score(a1, a2, AFF) if native.available() else None
     for eng, fn in (
         ("band-affine", jax.jit(band_ops.score_fn(len(a1), len(a2), AFF))),
         ("xla-affine", jax.jit(xla_ops.score_fn(AFF))),
     ):
         r = time_device_fn(fn, (da1, da2), label=f"mid-{eng}",
                            cells=len(a1) * len(a2))
+        if aff_want is not None:
+            assert r.score == aff_want, (eng, r.score, aff_want)
         out.append({"pair": "mid corpus", "engine": f"{eng}(2/-3,-5/-2)",
                     "wall_s": round(r.wall_s_best, 4),
-                    "gcups": round(r.gcups_best, 1), "score": r.score})
+                    "gcups": round(r.gcups_best, 1), "score": r.score,
+                    "checked": "native" if aff_want is not None else "none"})
         print(json.dumps(out[-1]), flush=True)
 
     # --- 400k x 398k: beyond MAX_BOUNDARY on BOTH axes -> chunked engine ---
