@@ -19,11 +19,20 @@ def test_reachable_when_no_tunnel_configured():
 
 
 def test_unreachable_when_relay_refuses():
-    # 127.0.0.1 with both relay ports closed (or refused fast) -> False.
-    # If a live local relay is listening this box IS reachable; accept both
-    # but require a boolean decision within the timeout.
-    with mock.patch.dict(os.environ, {"PALLAS_AXON_POOL_IPS": "127.0.0.1"}):
-        assert plat.tpu_reachable(timeout=2.0) in (True, False)
+    # Bind-then-close guarantees a port with nothing listening; the probe
+    # must return False (refused) and decide within the timeout budget.
+    import socket
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with mock.patch.dict(
+        os.environ, {"PALLAS_AXON_POOL_IPS": "127.0.0.1"}
+    ), mock.patch.object(plat, "RELAY_PORTS", (port,)):
+        t0 = time.monotonic()
+        assert plat.tpu_reachable(timeout=2.0) is False
+        assert time.monotonic() - t0 < 2.5
 
 
 def test_env_pin_wins_over_probe():

@@ -206,6 +206,13 @@ def main():
     print("\ndeltas vs full step (machinery group costs):")
     for name, cyc in rows[1:]:
         print(f"{name:10s} {base - cyc:+7.1f} cyc")
+    # the round-3 lean schedule, same slope method: validates the modeled
+    # ~8-op cut against the base step measured above
+    f1 = jax.jit(build_lean(T1))
+    f2 = jax.jit(build_lean(T2))
+    cyc = (wall(f2, x) - wall(f1, x)) / (T2 - T1) * freq
+    print(f"\n{'lean':10s} {cyc:7.1f} cyc/step "
+          f"({base - cyc:+.1f} vs base schedule)", flush=True)
 
 
 if __name__ == "__main__":

@@ -8,16 +8,24 @@
 #
 # Exits 0 after the queue runs, 3 if the relay never came back.
 set -u
+probe_relay() { # mirrors tpualign.utils.platform.tpu_reachable
+  local ip="${PALLAS_AXON_POOL_IPS%%,*}"
+  [ -z "$ip" ] && return 0  # no tunnel configured: local backend
+  for port in 8083 8082; do
+    timeout 5 bash -c "echo > /dev/tcp/$ip/$port" 2>/dev/null && return 0
+  done
+  return 1
+}
 cd "$(dirname "$0")/.."
 MAX_MIN="${1:-600}"
 MODE="${2:-}"
 
 for ((i = 0; i < MAX_MIN; i++)); do
-  if timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8083' 2>/dev/null; then
+  if probe_relay; then
     echo "relay BACK at $(date '+%H:%M:%S') after ${i} min - running queue"
     # give the tunnel a moment to finish coming up, then re-probe
     sleep 10
-    if timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8083' 2>/dev/null; then
+    if probe_relay; then
       bash tools/silicon_r3.sh $MODE
       exit $?
     fi

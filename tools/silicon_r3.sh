@@ -8,6 +8,14 @@
 #
 # "quick" skips the 2.5M large-scale rows and the tuners.
 set -u
+probe_relay() { # mirrors tpualign.utils.platform.tpu_reachable
+  local ip="${PALLAS_AXON_POOL_IPS%%,*}"
+  [ -z "$ip" ] && return 0  # no tunnel configured: local backend
+  for port in 8083 8082; do
+    timeout 5 bash -c "echo > /dev/tcp/$ip/$port" 2>/dev/null && return 0
+  done
+  return 1
+}
 cd "$(dirname "$0")/.."
 OUT=/tmp/silicon_r3
 mkdir -p "$OUT"
@@ -25,7 +33,7 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 # 0) relay probe: refuse to start a doomed queue
-if ! timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8083' 2>/dev/null; then
+if ! probe_relay; then
   echo "relay DOWN - aborting silicon queue" >&2
   exit 2
 fi

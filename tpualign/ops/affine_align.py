@@ -93,8 +93,11 @@ def _base_align(
         H[i] = np.maximum(T, E[i])
     for j in range(1, M + 1):  # row-0 E chain, for the backtrace walk
         E[0, j] = max(H[0, j - 1] + open_, E[0, j - 1]) + ext
-    # te: the alignment may end inside a vertical gap with the open waived
-    end_f = int(F[N, M] + (te - open_))
+    # te: the alignment may end inside a vertical gap with the open waived.
+    # A vertical gap needs at least one row — with N == 0 the F init row is
+    # H + tb and the waiver would fabricate a bogus higher score (and a
+    # gap-state backtrace with nothing to emit).
+    end_f = int(F[N, M] + (te - open_)) if N > 0 else int(NEG)
     sc = max(int(H[N, M]), end_f)
     state = "F" if end_f > int(H[N, M]) else "H"
     i, j = N, M
@@ -223,15 +226,17 @@ def _scan(s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig, tb: int):
 # ---------------------------------------------------------------------------
 
 
-def _solve(s1, s2, cfg, tb, te, a1: list, a2: list) -> None:
+def _solve(s1, s2, cfg, tb, te, a1: list, a2: list) -> int:
+    """Emit the alignment of this node into a1/a2; returns the node score
+    (so the root call IS the total score — no separate scoring pass)."""
     from ..io.bdna import BASES
 
     m, n = s1.size, s2.size
     if (m + 1) * (n + 1) <= BASE_CELLS or n < 2:
-        _, b1, b2 = _base_align(s1, s2, cfg, tb, te)
+        sc, b1, b2 = _base_align(s1, s2, cfg, tb, te)
         a1.append(b1)
         a2.append(b2)
-        return
+        return sc
     mid = n // 2
     hf, ff = _scan(s1, s2[:mid], cfg, tb)
     hr, fr = _scan(s1[::-1], s2[mid:][::-1], cfg, te)
@@ -242,11 +247,13 @@ def _solve(s1, s2, cfg, tb, te, a1: list, a2: list) -> None:
     if h_case[jh] >= f_case[jf]:  # path touches (mid, jh) gap-free
         _solve(s1[:jh], s2[:mid], cfg, tb, cfg.gap_open, a1, a2)
         _solve(s1[jh:], s2[mid:], cfg, cfg.gap_open, te, a1, a2)
-    else:  # a vertical gap spans rows mid..mid+1 at column jf
-        _solve(s1[:jf], s2[: mid - 1], cfg, tb, 0, a1, a2)
-        a1.append("--")
-        a2.append(BASES[s2[mid - 1]] + BASES[s2[mid]])
-        _solve(s1[jf:], s2[mid + 1:], cfg, 0, te, a1, a2)
+        return int(h_case[jh])
+    # a vertical gap spans rows mid..mid+1 at column jf
+    _solve(s1[:jf], s2[: mid - 1], cfg, tb, 0, a1, a2)
+    a1.append("--")
+    a2.append(BASES[s2[mid - 1]] + BASES[s2[mid]])
+    _solve(s1[jf:], s2[mid + 1:], cfg, 0, te, a1, a2)
+    return int(f_case[jf])
 
 
 def align(
@@ -268,12 +275,9 @@ def align(
             "see api.align")
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
-    from .xla import score as xla_score
-
-    sc = xla_score(s1, s2, cfg)
+    if s1.size == 0 and s2.size == 0:
+        return 0, "", ""
     a1: list = []
     a2: list = []
-    if s1.size == 0 and s2.size == 0:
-        return sc, "", ""
-    _solve(s1, s2, cfg, cfg.gap_open, cfg.gap_open, a1, a2)
+    sc = _solve(s1, s2, cfg, cfg.gap_open, cfg.gap_open, a1, a2)
     return sc, "".join(a1), "".join(a2)

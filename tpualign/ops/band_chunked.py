@@ -201,13 +201,13 @@ def score_fn(
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)`` — the unbounded-boundary engine's analog of
     ``band.score_fn`` (all packing runs on device inside the jit)."""
-    if m == 0 or n == 0:
-        base = 0 if cfg.is_local else cfg.gap * (m + n)
-        return lambda s1, s2: jnp.int32(base)
-    if cfg.is_affine:
+    if cfg.is_affine:  # before ANY scoring, degenerate lengths included
         raise ValueError(
             "affine gaps are outside the chunked band engine's envelope; "
             "use impl='xla' (or 'oracle')")
+    if m == 0 or n == 0:
+        base = 0 if cfg.is_local else cfg.gap * (m + n)
+        return lambda s1, s2: jnp.int32(base)
     if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):
         raise ValueError(
             "masked SW configs are outside the chunked engine's envelope"

@@ -138,13 +138,13 @@ def score_fn(
     if mesh is None:
         mesh = make_mesh()
     P = int(mesh.devices.size)
-    if m == 0 or n == 0:
-        base = 0 if cfg.is_local else cfg.gap * (m + n)
-        return (lambda *a: jnp.int32(base)), (lambda s1, s2: ())
-    if cfg.is_affine:
+    if cfg.is_affine:  # before ANY scoring, degenerate lengths included
         raise ValueError(
             "affine gaps are outside the sharded band engine's envelope; "
             "use impl='xla' (or 'oracle')")
+    if m == 0 or n == 0:
+        base = 0 if cfg.is_local else cfg.gap * (m + n)
+        return (lambda *a: jnp.int32(base)), (lambda s1, s2: ())
     if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):
         raise ValueError(
             "masked SW configs are outside the band engine's envelope")
@@ -220,6 +220,10 @@ def score(
     s2 = np.asarray(s2)
     m, n = int(s1.size), int(s2.size)
     if m == 0 or n == 0:
+        if cfg.is_affine:
+            raise ValueError(
+                "affine gaps are outside the sharded band engine's "
+                "envelope; use impl='xla'")
         return 0 if cfg.is_local else cfg.gap * (m + n)
     fn, prep = score_fn(
         m, n, cfg, mesh=mesh, rows=rows, interpret=interpret)

@@ -24,6 +24,11 @@ import os
 import sys
 
 
+#: relay ports to dial, in order (module-level so tests can substitute a
+#: guaranteed-closed port)
+RELAY_PORTS = (8083, 8082)
+
+
 def tpu_reachable(timeout: float = 5.0) -> bool:
     """True if no tunnel is configured, or its relay accepts a TCP dial."""
     import socket
@@ -31,7 +36,7 @@ def tpu_reachable(timeout: float = 5.0) -> bool:
     ip = os.environ.get("PALLAS_AXON_POOL_IPS", "")
     if not ip:
         return True  # no tunnel: local backend, let jax decide
-    for port in (8083, 8082):
+    for port in RELAY_PORTS:
         try:
             with socket.create_connection(
                 (ip.split(",")[0], port), timeout=timeout
