@@ -73,3 +73,38 @@ def test_smid_sharded_nw(mesh8):
     s1, s2 = reference_pair("smid")
     want = oracle.score(s1, s2)
     assert strips.score(s1, s2, mesh=mesh8, chunk_rows=512) == want
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+def test_affine_sharded(mesh8, mode):
+    # Gotoh sharding: the (H, E) halo pair crosses chips, F carries
+    # chip-locally — vs the oracle across chunk depths and ragged shapes
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2,
+                        mode=mode)
+    rng = np.random.default_rng(47)
+    s1 = rng.integers(1, 5, size=333, dtype=np.int8)
+    s2 = rng.integers(1, 5, size=257, dtype=np.int8)
+    want = oracle.score(s1, s2, cfg)
+    for chunk in (16, 128):
+        assert strips.score(s1, s2, cfg, mesh=mesh8,
+                            chunk_rows=chunk) == want, chunk
+
+
+def test_affine_sharded_mesh_invariance(mesh4, mesh8):
+    cfg = ScoringConfig(match=1, mismatch=-1, gap_open=0, gap_extend=-1)
+    rng = np.random.default_rng(53)
+    s1 = rng.integers(1, 5, size=300, dtype=np.int8)
+    s2 = rng.integers(1, 5, size=280, dtype=np.int8)
+    want = oracle.score(s1, s2, cfg)
+    for mesh in (make_mesh(1), mesh4, mesh8):
+        assert strips.score(s1, s2, cfg, mesh=mesh, chunk_rows=64) == want
+
+
+def test_affine_sharded_ragged(mesh8):
+    cfg = ScoringConfig(match=3, mismatch=-2, gap_open=-11, gap_extend=-1)
+    rng = np.random.default_rng(59)
+    for l1, l2 in ((7, 300), (300, 7), (129, 65)):
+        s1 = rng.integers(1, 5, size=l1, dtype=np.int8)
+        s2 = rng.integers(1, 5, size=l2, dtype=np.int8)
+        assert strips.score(s1, s2, cfg, mesh=mesh8,
+                            chunk_rows=64) == oracle.score(s1, s2, cfg)

@@ -49,7 +49,14 @@ def resolve_impl(
     if scoring is not None and scoring.is_affine:
         # affine (Gotoh) gaps: the band kernel runs the three-matrix
         # recurrence on TPU (round 3); the XLA row scan is the portable
-        # engine and the past-cap fallback
+        # engine and the past-cap fallback; multi-device processes shard
+        # through the (H, E)-halo strip pipeline
+        import jax
+
+        if shape is not None and len(jax.devices()) > 1:
+            m, n = shape
+            if max(m, n) >= 4096 * len(jax.devices()):
+                return "strips"
         return "band" if _platform() == "tpu" else "xla"
     if _platform() != "tpu":
         return "xla"

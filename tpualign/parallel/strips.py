@@ -22,6 +22,12 @@ collective latency, shallower chunks shorten the bubble.
 The per-chunk fill is the pure-XLA row scan (``ops/xla.py``); sequences are
 padded per shard, and the true score cell ``H[N][M]`` is extracted with masked
 selects since padding columns/rows lie strictly right/below of it.
+
+Affine (Gotoh) configs shard too: the halo becomes an (H, E) column pair —
+the horizontal-gap chain crosses the column split, the vertical F chain
+never does (it is carried chip-locally chunk to chunk like the top row) —
+and the incoming E seeds the in-row cummax resolve
+(:func:`_chunk_fill_affine`).
 """
 
 from __future__ import annotations
@@ -75,6 +81,59 @@ def _chunk_fill(
     return h_last, right_col, tap_col, best
 
 
+def _chunk_fill_affine(
+    s1_local: jax.Array,  # (W,)
+    s2_chunk: jax.Array,  # (C,)
+    h_top: jax.Array,  # (W+1,) H row above the chunk, incl. left corner
+    f_top: jax.Array,  # (W,) F row above the chunk (own columns only —
+    #                    the F chain never crosses the column sharding)
+    left_h: jax.Array,  # (C,) halo H column (left edge)
+    left_e: jax.Array,  # (C,) halo E column: seeds the in-row resolve
+    row_valid: jax.Array,
+    col_valid: jax.Array,
+    sel: jax.Array,
+    best0: jax.Array,
+    cfg: ScoringConfig,
+):
+    """Gotoh chunk fill.  The in-row E dependency unrolls to the usual
+    cummax with ONE extra seed: the incoming chain ``E_in + j*ext`` enters
+    as ``E_in - open`` at position 0 (``E[j] = open + j*ext +
+    cummax(T[k] - k*ext, E_in - open)``).  Returns (H last row, F last
+    row, right (H, E) halo columns, tapped column, masked running max)."""
+    W = s1_local.shape[0]
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    jext = jnp.arange(W + 1, dtype=jnp.int32) * ext
+
+    def step(carry, xs):
+        h_prev, f_prev, best = carry
+        base, l0h, l0e, rv = xs
+        sub = jnp.where(s1_local == base, match, mismatch)
+        f = jnp.maximum(h_prev[1:] + open_, f_prev) + ext
+        t = jnp.maximum(h_prev[:-1] + sub, f)
+        if cfg.is_local:
+            t = jnp.maximum(t, 0)
+        t = jnp.concatenate([l0h[None], t])
+        seed = t - jext
+        seed = seed.at[0].set(jnp.maximum(seed[0], l0e - open_))
+        cmax = jax.lax.associative_scan(jnp.maximum, seed)
+        e = jnp.concatenate([NEG_INF[None], cmax[:-1]]) + open_ + jext
+        h = jnp.maximum(t, e)
+        if cfg.is_local:
+            cell_ok = rv & col_valid
+            best = jnp.maximum(
+                best, jnp.max(jnp.where(cell_ok, h[1:], NEG_INF))
+            )
+        return (h, f, best), (h[W], e[W], h[sel])
+
+    (h_last, f_last, best), (right_h, right_e, tap_col) = jax.lax.scan(
+        step, (h_top, f_top, best0), (s2_chunk, left_h, left_e, row_valid)
+    )
+    return h_last, f_last, right_h, right_e, tap_col, best
+
+
 def _strip_pipeline_body(
     cfg: ScoringConfig,
     n_rows: int,  # true N (len s2)
@@ -99,15 +158,23 @@ def _strip_pipeline_body(
     h_last_chunk = jnp.int32((n_rows - 1) // chunk)
     sel_row = jnp.int32((n_rows - 1) % chunk)
 
+    affine = cfg.is_affine
+    if affine:
+        open_ = jnp.int32(cfg.gap_open)
+        ext = jnp.int32(cfg.gap_extend)
     if local:
         top0 = jax.lax.pcast(jnp.zeros(W + 1, dtype=jnp.int32), AXIS, to='varying')
         corner0 = jax.lax.pcast(jnp.int32(0), AXIS, to='varying')
+    elif affine:
+        cols = jnp.concatenate([col_off[None], own_global_cols])
+        top0 = jnp.where(cols == 0, 0, open_ + cols * ext)
+        corner0 = jnp.where(col_off == 0, 0, open_ + col_off * ext)
     else:
         top0 = jnp.concatenate([col_off[None], own_global_cols]) * g
         corner0 = col_off * g  # H[0][col_off], diag dep of my chunk-0 corner cell
 
     def superstep(carry, t):
-        h_top, corner, left_in, best, score = carry
+        h_top, f_top, corner, left_in, left_in_e, best, score = carry
         h = t - c  # my chunk index this step
         active = (h >= 0) & (h < n_chunks)
         hc = jnp.clip(h, 0, n_chunks - 1)
@@ -117,15 +184,35 @@ def _strip_pipeline_body(
         rows = r0 + 1 + jnp.arange(chunk, dtype=jnp.int32)
         row_valid = rows <= n_rows
         # shard 0 sits on the global left boundary: H[i][0] = i*gap (NW) / 0
-        # (SW); interior shards receive the halo column from their neighbor
-        bnd = jnp.zeros(chunk, dtype=jnp.int32) if local else rows * g
+        # (SW) / open + i*ext (affine NW); interior shards receive the halo
+        # column(s) from their neighbor
+        if local:
+            bnd = jnp.zeros(chunk, dtype=jnp.int32)
+        elif affine:
+            bnd = open_ + rows * ext
+        else:
+            bnd = rows * g
         left_col = jnp.where(c == 0, bnd, left_in)
 
         h_top_full = h_top.at[0].set(corner)
-        h_last, right_col, tap_col, cbest = _chunk_fill(
-            s1_local, s2_chunk, h_top_full, left_col, row_valid,
-            col_valid, sel, jax.lax.pcast(NEG_INF, AXIS, to='varying'), cfg,
-        )
+        if affine:
+            # chip 0's E halo is the true E(i, 0) = -inf boundary
+            left_e = jnp.where(c == 0, NEG_INF, left_in_e)
+            h_last, f_last, right_col, right_e, tap_col, cbest = (
+                _chunk_fill_affine(
+                    s1_local, s2_chunk, h_top_full, f_top, left_col,
+                    left_e, row_valid, col_valid, sel,
+                    jax.lax.pcast(NEG_INF, AXIS, to='varying'), cfg,
+                )
+            )
+            f_top = jnp.where(active, f_last, f_top)
+        else:
+            h_last, right_col, tap_col, cbest = _chunk_fill(
+                s1_local, s2_chunk, h_top_full, left_col, row_valid,
+                col_valid, sel,
+                jax.lax.pcast(NEG_INF, AXIS, to='varying'), cfg,
+            )
+            right_e = left_in_e  # unused linear carry, kept for shape
 
         # carries update only while this chip is inside the wavefront;
         # the next chunk's corner H[r0+C][col_off] is my left column's last row
@@ -140,22 +227,31 @@ def _strip_pipeline_body(
                 score,
             )
 
-        # halo: my right boundary column becomes my right neighbor's left
+        # halo: my right boundary column(s) become my right neighbor's left
         perm = [(i, i + 1) for i in range(P - 1)]
         left_next = jax.lax.ppermute(right_col, AXIS, perm)
-        return (h_top, corner, left_next, best, score), None
+        left_next_e = jax.lax.ppermute(right_e, AXIS, perm) if affine \
+            else left_in_e
+        return (h_top, f_top, corner, left_next, left_next_e, best,
+                score), None
 
     # constant-valued carry components must still be marked device-varying
     # (each shard's copy diverges from step 1); top0/corner0 already vary via c
+    def vary(x):
+        return jax.lax.pcast(x, AXIS, to='varying')
+
     init = (
         top0,
+        vary(jnp.full(W, NEG_INF, dtype=jnp.int32)),  # f_top (affine)
         corner0,
-        jax.lax.pcast(jnp.zeros(chunk, dtype=jnp.int32), AXIS, to='varying'),
-        jax.lax.pcast(NEG_INF, AXIS, to='varying'),
-        jax.lax.pcast(NEG_INF, AXIS, to='varying'),
+        vary(jnp.zeros(chunk, dtype=jnp.int32)),
+        vary(jnp.full(chunk, NEG_INF, dtype=jnp.int32)),  # E halo (affine)
+        vary(NEG_INF),
+        vary(NEG_INF),
     )
     steps = jnp.arange(n_chunks + P - 1, dtype=jnp.int32)
-    (h_top, _, _, best, score), _ = jax.lax.scan(superstep, init, steps)
+    (h_top, _, _, _, _, best, score), _ = jax.lax.scan(
+        superstep, init, steps)
 
     if local:
         out = jnp.maximum(jax.lax.pmax(best, AXIS), 0)
@@ -201,11 +297,6 @@ def score(
     decomposition mirrors ``src/mpi/mpi-vert.cpp`` with ``chunk_rows`` playing
     the role of ``COMMBUF_SIZE``.
     """
-    if cfg.is_affine:
-        raise ValueError(
-            "affine gaps are outside the sharded strip engine's envelope "
-            "(the halo carries H columns only; affine needs H+E); "
-            "use impl='xla'")
     if mesh is None:
         mesh = make_mesh()
     P = mesh.devices.size
@@ -213,7 +304,12 @@ def score(
     s2 = np.asarray(s2)
     m, n = int(s1.size), int(s2.size)
     if m == 0 or n == 0:
-        return 0 if cfg.is_local else cfg.gap * (m + n)
+        if cfg.is_local:
+            return 0
+        if cfg.is_affine:
+            L = m + n
+            return 0 if L == 0 else cfg.gap_open + cfg.gap_extend * L
+        return cfg.gap * (m + n)
 
     chunk = int(min(chunk_rows, _round_up(n, 8)))
     n_chunks = -(-n // chunk)
@@ -247,11 +343,6 @@ def score_fn(
     Caller must pre-pad: ``s1`` to ``P * ceil(m/P)`` columns, ``s2`` to
     ``n_chunks * chunk`` rows (see :func:`score` for the exact layout).
     """
-    if cfg.is_affine:
-        raise ValueError(
-            "affine gaps are outside the sharded strip engine's envelope "
-            "(the halo carries H columns only; affine needs H+E); "
-            "use impl='xla'")
     if mesh is None:
         mesh = make_mesh()
     P = mesh.devices.size
