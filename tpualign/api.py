@@ -19,9 +19,21 @@ from .config import AlignMode, EngineConfig, ScoringConfig
 FULL_TABLE_CELL_LIMIT = 16 * 1024 * 1024
 
 
+_backend_guarded = False
+
+
 def _platform() -> str:
     import jax
 
+    # first device query in the process: make sure a dead tunnel relay
+    # degrades to CPU instead of hanging the caller (library users don't
+    # go through the CLI's guard)
+    global _backend_guarded
+    if not _backend_guarded:
+        from .utils.platform import ensure_live_backend
+
+        ensure_live_backend()
+        _backend_guarded = True
     return jax.default_backend()
 
 
@@ -51,13 +63,15 @@ def resolve_impl(
         # recurrence on TPU (round 3); the XLA row scan is the portable
         # engine and the past-cap fallback; multi-device processes shard
         # through the (H, E)-halo strip pipeline
+        plat = _platform()  # FIRST: fires the dead-relay guard before any
+        #                     jax.devices() query below can dial the tunnel
         import jax
 
         if shape is not None and len(jax.devices()) > 1:
             m, n = shape
             if max(m, n) >= 4096 * len(jax.devices()):
                 return "strips"
-        return "band" if _platform() == "tpu" else "xla"
+        return "band" if plat == "tpu" else "xla"
     if _platform() != "tpu":
         return "xla"
     import jax
