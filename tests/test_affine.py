@@ -351,10 +351,58 @@ def test_api_large_affine_alignment(monkeypatch):
     s1, s2 = random_pair(80, 75, seed=6)
     sc, a1, a2 = api.align(s1, s2, cfg)
     _check_alignment(s1, s2, cfg, sc, a1, a2)
-    with pytest.raises(ValueError):
-        api.align(s1, s2,
-                  ScoringConfig(gap_open=-5, gap_extend=-2,
-                                mode=AlignMode.LOCAL))
+
+
+def _check_local_alignment(s1, s2, cfg, sc, a1, a2):
+    from tpualign.io.bdna import BASES
+
+    assert sc == oracle.score(s1, s2, cfg)
+    assert oracle.alignment_score(a1, a2, cfg) == sc
+    # the gap-stripped strings are contiguous substrings of the inputs
+    t1 = "".join(BASES[c] for c in np.asarray(s1))
+    t2 = "".join(BASES[c] for c in np.asarray(s2))
+    assert a1.replace("-", "") in t1
+    assert a2.replace("-", "") in t2
+
+
+def test_local_affine_alignment_any_size(monkeypatch):
+    # SW affine alignment: locate + anchored reverse fill + Myers-Miller
+    from tpualign.ops import affine_align
+
+    cfg = ScoringConfig(match=3, mismatch=-2, gap_open=-4, gap_extend=-1,
+                        mode=AlignMode.LOCAL)
+    rng = np.random.default_rng(67)
+    for trial in range(5):
+        m, n = int(rng.integers(30, 200)), int(rng.integers(30, 200))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        sc, a1, a2 = affine_align.align_local(s1, s2, cfg)
+        _check_local_alignment(s1, s2, cfg, sc, a1, a2)
+    # deep recursion inside the located window
+    monkeypatch.setattr(affine_align, "BASE_CELLS", 256)
+    s1, s2 = random_pair(120, 110, seed=9)
+    sc, a1, a2 = affine_align.align_local(s1, s2, cfg)
+    _check_local_alignment(s1, s2, cfg, sc, a1, a2)
+
+
+def test_local_affine_alignment_api(monkeypatch):
+    from tpualign import api
+
+    monkeypatch.setattr(api, "FULL_TABLE_CELL_LIMIT", 1000)
+    cfg = ScoringConfig(match=2, mismatch=-3, gap_open=-5, gap_extend=-2,
+                        mode=AlignMode.LOCAL)
+    s1, s2 = random_pair(90, 85, seed=13)
+    sc, a1, a2 = api.align(s1, s2, cfg)
+    _check_local_alignment(s1, s2, cfg, sc, a1, a2)
+
+
+def test_local_affine_no_positive_cell():
+    from tpualign.ops import affine_align
+
+    cfg = ScoringConfig(match=1, mismatch=-3, gap_open=-4, gap_extend=-2,
+                        mode=AlignMode.LOCAL)
+    s1 = np.asarray([1, 1, 1, 1], np.int8)
+    s2 = np.asarray([2, 2, 2, 2], np.int8)  # mismatch everywhere
+    assert affine_align.align_local(s1, s2, cfg) == (0, "", "")
 
 
 @pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])

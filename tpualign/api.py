@@ -204,15 +204,13 @@ def align(
                 pass
         return oracle.traceback(s1, s2, scoring)
     if scoring.is_affine:
-        if scoring.is_local:
-            # the SW locate-and-walk tiers are linear-gap designs
-            raise ValueError(
-                "local affine alignment currently supports problems up to "
-                f"{FULL_TABLE_CELL_LIMIT} cells (scores run at any size)")
         from .ops import affine_align
 
-        # Myers-Miller bisection over the affine row scan: linear space,
+        # Myers-Miller bisection over the affine row scan (global), or
+        # locate + anchored-reverse + Myers-Miller (local): linear space,
         # any size
+        if scoring.is_local:
+            return affine_align.align_local(s1, s2, scoring)
         return affine_align.align(s1, s2, scoring)
     impl = resolve_impl(engine, scoring)
     if impl == "bitpal":

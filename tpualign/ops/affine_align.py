@@ -256,6 +256,176 @@ def _solve(s1, s2, cfg, tb, te, a1: list, a2: list) -> int:
     return int(f_case[jf])
 
 
+@functools.lru_cache(maxsize=32)
+def _locate_fn(mb: int, nb: int, cfg: ScoringConfig):
+    """Jitted ``(s1_pad, s2_pad, n) -> (best, i, j)``: the Smith-Waterman
+    optimum and its row-major-FIRST cell (strict improvement test, matching
+    the oracle's convention), bucketed like :func:`_scan_fn`."""
+    import jax
+    import jax.numpy as jnp
+
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    NEG_INF = jnp.int32(-(2**30))
+
+    @jax.jit
+    def fn(s1p, s2p, n):
+        jext = jnp.arange(mb + 1, dtype=jnp.int32) * ext
+        h0 = jnp.zeros(mb + 1, jnp.int32)
+        f0 = jnp.full(mb + 1, NEG_INF, jnp.int32)
+
+        def step(carry, xs):
+            h_prev, f_prev, best, bi, bj = carry
+            base, k = xs
+            sub = jnp.where(s1p == base, match, mismatch)
+            f = jnp.maximum(h_prev + open_, f_prev) + ext
+            t = jnp.maximum(jnp.maximum(h_prev[:-1] + sub, f[1:]), 0)
+            t = jnp.concatenate([jnp.zeros(1, jnp.int32), t])
+            c = jax.lax.associative_scan(jnp.maximum, t - jext)
+            e = jnp.concatenate([NEG_INF[None], c[:-1]]) + open_ + jext
+            h = jnp.maximum(t, e)
+            live = k < n
+            rmax = jnp.max(jnp.where(live, h, NEG_INF))
+            better = rmax > best
+            best = jnp.where(better, rmax, best)
+            bi = jnp.where(better, k + 1, bi)
+            bj = jnp.where(better, jnp.argmax(h).astype(jnp.int32), bj)
+            h = jnp.where(live, h, h_prev)
+            f = jnp.where(live, f, f_prev)
+            return (h, f, best, bi, bj), 0
+
+        ks = jnp.arange(nb, dtype=jnp.int32)
+        (h, f, best, bi, bj), _ = jax.lax.scan(
+            step, (h0, f0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            (s2p, ks))
+        return best, bi, bj
+
+    return fn
+
+
+def _locate(s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig):
+    m, n = s1.size, s2.size
+    mb, nb = _bucket(m), _bucket(n)
+    s1p = np.full(mb, _PAD, np.int32)
+    s1p[:m] = s1
+    s2p = np.full(nb, _PAD, np.int32)
+    s2p[:n] = s2
+    import jax.numpy as jnp
+
+    best, i, j = _locate_fn(mb, nb, cfg)(
+        jnp.asarray(s1p), jnp.asarray(s2p), jnp.int32(n))
+    return int(best), int(i), int(j)
+
+
+@functools.lru_cache(maxsize=32)
+def _first_hit_fn(mb: int, nb: int, cfg: ScoringConfig):
+    """Jitted ``(s1_pad, s2_pad, n, m, target) -> (i, j)``: the first
+    (row-major) cell of the GLOBAL affine fill whose H equals ``target``.
+
+    Used on the reversed prefix pair to anchor the SW path start: the
+    global fill from the reversed origin IS the set of path scores ending
+    at the located forward cell, so the first cell hitting the optimum is
+    a valid start.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    NEG_INF = jnp.int32(-(2**30))
+
+    @jax.jit
+    def fn(s1p, s2p, n, m, target):
+        jext = jnp.arange(mb + 1, dtype=jnp.int32) * ext
+        h0 = open_ + jext
+        h0 = h0.at[0].set(0)
+        f0 = h0 + open_
+        col_ok = jnp.arange(mb + 1, dtype=jnp.int32) <= m
+
+        def step(carry, xs):
+            h_prev, f_prev, found, bi, bj = carry
+            base, k = xs
+            sub = jnp.where(s1p == base, match, mismatch)
+            f = jnp.maximum(h_prev + open_, f_prev) + ext
+            t = jnp.maximum(h_prev[:-1] + sub, f[1:])
+            left0 = open_ + (k + 1) * ext
+            t = jnp.concatenate([left0[None], t])
+            c = jax.lax.associative_scan(jnp.maximum, t - jext)
+            e = jnp.concatenate([NEG_INF[None], c[:-1]]) + open_ + jext
+            h = jnp.maximum(t, e)
+            live = k < n
+            hit = (h == target) & col_ok & live
+            j_hit = jnp.argmax(hit).astype(jnp.int32)
+            take = jnp.any(hit) & ~found
+            bi = jnp.where(take, k + 1, bi)
+            bj = jnp.where(take, j_hit, bj)
+            found = found | take
+            h = jnp.where(live, h, h_prev)
+            f = jnp.where(live, f, f_prev)
+            return (h, f, found, bi, bj), 0
+
+        ks = jnp.arange(nb, dtype=jnp.int32)
+        (_, _, found, bi, bj), _ = jax.lax.scan(
+            step, (h0, f0, jnp.bool_(False), jnp.int32(-1), jnp.int32(-1)),
+            (s2p, ks))
+        return found, bi, bj
+
+    return fn
+
+
+def align_local(
+    s1,
+    s2,
+    cfg: ScoringConfig,
+) -> Tuple[int, str, str]:
+    """Local (Smith-Waterman) affine alignment at any size, linear space.
+
+    Locate the optimal END cell with the SW device scan; anchor the START
+    by running the GLOBAL affine fill on the reversed prefix pair until a
+    cell hits the optimum (every such cell is the start of an optimal
+    path ending exactly at the located cell); then hand the matched
+    substrings to the global Myers-Miller machinery — an optimal local
+    path is exactly an optimal GLOBAL affine path of its matched
+    substrings.  Returns the aligned strings of the matched substrings
+    like ``oracle.traceback`` local mode.
+    """
+    if not (cfg.is_affine and cfg.is_local):
+        raise ValueError("align_local requires a local affine config")
+    if cfg.mismatch > 0:
+        raise ValueError(
+            "positive-mismatch local affine configs are outside this "
+            "engine's envelope")
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+    best, ie, je = _locate(s1, s2, cfg)
+    if best <= 0:
+        return 0, "", ""
+    r1 = s1[:je][::-1].copy()
+    r2 = s2[:ie][::-1].copy()
+    mb, nb = _bucket(r1.size), _bucket(r2.size)
+    s1p = np.full(mb, _PAD, np.int32)
+    s1p[: r1.size] = r1
+    s2p = np.full(nb, _PAD, np.int32)
+    s2p[: r2.size] = r2
+    import jax.numpy as jnp
+
+    found, i2, j2 = _first_hit_fn(mb, nb, cfg)(
+        jnp.asarray(s1p), jnp.asarray(s2p), jnp.int32(r2.size),
+        jnp.int32(r1.size), jnp.int32(best))
+    assert bool(found), "reverse anchor fill never reached the optimum"
+    i0, j0 = ie - int(i2), je - int(j2)
+    import dataclasses
+
+    gcfg = dataclasses.replace(cfg, mode=type(cfg.mode).GLOBAL)
+    sc, a1, a2 = align(s1[j0:je], s2[i0:ie], gcfg)
+    assert sc == best, (sc, best)
+    return best, a1, a2
+
+
 def align(
     s1,
     s2,
@@ -270,9 +440,7 @@ def align(
     if not cfg.is_affine:
         raise ValueError("align() in affine_align requires an affine config")
     if cfg.is_local:
-        raise ValueError(
-            "local affine alignment is table-bounded for now; "
-            "see api.align")
+        return align_local(s1, s2, cfg)
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
     if s1.size == 0 and s2.size == 0:
