@@ -30,9 +30,11 @@ dt = time.perf_counter() - t0
 print(f"affine score {sc}  ({dt * 1e3:.1f} ms)  "
       f"[linear -4/col scores {align_score(s1, s2, linear)}]")
 
-if not sw and len(s1) * len(s2) <= (1 << 34):
+if len(s1) * len(s2) <= (1 << 34):
     t0 = time.perf_counter()
-    sc2, a1, a2 = align(s1, s2, cfg)  # any size: Myers-Miller bisection
+    # any size: Myers-Miller bisection (global) or locate + anchored
+    # reverse + Myers-Miller on the matched substrings (SW)
+    sc2, a1, a2 = align(s1, s2, cfg)
     assert sc2 == sc
     runs = sum(
         1 for i, c in enumerate(a1 + "|" + a2)
