@@ -25,6 +25,42 @@ def _random_cfg(rng) -> ScoringConfig:
     )
 
 
+def _random_affine_cfg(rng) -> ScoringConfig:
+    # mismatch <= 0 keeps every affine engine in-envelope (band local)
+    mode = AlignMode.LOCAL if rng.integers(2) else AlignMode.GLOBAL
+    return ScoringConfig(
+        match=int(rng.integers(1, 6)),
+        mismatch=int(rng.integers(-4, 1)),
+        gap_open=int(rng.integers(-8, 1)),
+        gap_extend=int(rng.integers(-5, 1)),
+        mode=mode,
+    )
+
+
+def test_cross_engine_affine_fuzz(rng):
+    # same discipline for the Gotoh engines: oracle vs xla scan vs band's
+    # native affine mode vs the sharded (H, E)-halo pipeline vs the
+    # independent C++ scorer
+    from tpualign.utils import native
+
+    mesh = make_mesh(4)
+    for trial in range(8):
+        m = int(rng.integers(1, 180))
+        n = int(rng.integers(1, 180))
+        s1, s2 = random_pair(m, n, seed=int(rng.integers(1 << 30)))
+        cfg = _random_affine_cfg(rng)
+        want = oracle.score(s1, s2, cfg)
+        got = {
+            "xla": xla.score(s1, s2, cfg),
+            "band": band.score(s1, s2, cfg, rows=8, interpret=True),
+            "strips": strips.score(s1, s2, cfg, mesh=mesh, chunk_rows=64),
+        }
+        if native.available():
+            got["native"] = native.score(s1, s2, cfg)
+        for name, v in got.items():
+            assert v == want, (trial, name, cfg, m, n, v, want)
+
+
 def test_cross_engine_fuzz(rng):
     mesh = make_mesh(4)
     for trial in range(12):
