@@ -157,16 +157,22 @@ def test_api_dispatch_and_rejections():
     assert band is not None  # (band's affine mode: test_band_affine_*)
 
 
-def test_batch_api_affine_falls_back_to_loop():
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
+def test_batch_api_affine_one_dispatch(mode):
+    # the vmapped Gotoh batch scan (ragged lengths, incl. degenerate)
     from tpualign import align_score_batch
 
     cfg = ScoringConfig(match=2, mismatch=-1, gap_open=-4, gap_extend=-1,
-                        mode=AlignMode.LOCAL)
+                        mode=mode)
+    rng = np.random.default_rng(71)
     texts, queries = [], []
-    for i in range(3):
-        t, q = random_pair(20 + i, 15 + i, seed=100 + i)
+    for i in range(6):
+        m, n = int(rng.integers(1, 80)), int(rng.integers(1, 70))
+        t, q = random_pair(m, n, seed=100 + i)
         texts.append(t)
         queries.append(q)
+    texts.append(np.asarray([], np.int8))  # degenerate pair in the batch
+    queries.append(queries[0])
     got = align_score_batch(texts, queries, cfg)
     want = [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
     assert got.tolist() == want

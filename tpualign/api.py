@@ -271,6 +271,12 @@ def align_score_batch(
     from .ops import bitpal
 
     resolved = resolve_impl(engine, scoring)
+    if scoring.is_affine and engine.impl in ("auto", "xla"):
+        # one-dispatch Gotoh batch: the affine row scan vmapped over the
+        # padded bucket (the band/bitpal batch kernels are linear-gap)
+        from .ops import xla as xla_ops
+
+        return xla_ops.score_batch_affine(texts, queries, scoring)
     # Take the bit-parallel batch kernel only when it is the resolved engine,
     # or on impl='auto' off-TPU (where the interpreted batch kernel still
     # beats a per-pair python loop).  An *explicit* impl='xla' request is

@@ -180,6 +180,108 @@ def score_fn(cfg: ScoringConfig = ScoringConfig()):
     return fn
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _batch_affine_impl(
+    texts: jax.Array,  # (B, m_cap) int32, pad char 14
+    queries: jax.Array,  # (B, n_cap) int32, pad char 15
+    mts: jax.Array,  # (B,) true text lengths
+    nqs: jax.Array,  # (B,) true query lengths
+    cfg: ScoringConfig,
+) -> jax.Array:
+    """Batched Gotoh scores in ONE dispatch: the affine row scan vmapped
+    over a padded shape bucket.  Rows past each pair's true length freeze
+    the carry; column junk right of the true text never flows left (the
+    in-row resolve's cummax runs left-to-right), so extraction at
+    ``h[mt]`` (global) / a column-masked running max (local) is exact.
+    The two pad codes (14/15) match neither each other nor real bases, so
+    padded local cells only decay."""
+    m_cap = texts.shape[1]
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    jext = jnp.arange(m_cap + 1, dtype=jnp.int32) * ext
+    cols = jnp.arange(m_cap + 1, dtype=jnp.int32)
+
+    def one(s1, s2, mt, nq):
+        if cfg.is_local:
+            h0 = jnp.zeros(m_cap + 1, jnp.int32)
+        else:
+            h0 = jnp.where(cols == 0, 0, open_ + jext)
+        f0 = jnp.full(m_cap + 1, NEG_INF, jnp.int32)
+        col_ok = (cols >= 1) & (cols <= mt)
+
+        def step(carry, xs):
+            h_prev, f_prev, best = carry
+            base, k = xs
+            sub = jnp.where(s1 == base, match, mismatch)
+            f = jnp.maximum(h_prev + open_, f_prev) + ext
+            t = jnp.maximum(h_prev[:-1] + sub, f[1:])
+            if cfg.is_local:
+                t = jnp.maximum(t, 0)
+                left0 = jnp.int32(0)
+            else:
+                left0 = open_ + (k + 1) * ext
+            t = jnp.concatenate([left0[None], t])
+            c = jax.lax.associative_scan(jnp.maximum, t - jext)
+            e = jnp.concatenate([NEG_INF[None], c[:-1]]) + open_ + jext
+            h = jnp.maximum(t, e)
+            live = k < nq
+            if cfg.is_local:
+                rmax = jnp.max(jnp.where(col_ok & live, h, NEG_INF))
+                best = jnp.maximum(best, rmax)
+            h = jnp.where(live, h, h_prev)
+            f = jnp.where(live, f, f_prev)
+            return (h, f, best), 0
+
+        ks = jnp.arange(s2.shape[0], dtype=jnp.int32)
+        (h, _, best), _ = jax.lax.scan(step, (h0, f0, NEG_INF), (s2, ks))
+        if cfg.is_local:
+            return jnp.maximum(best, 0)
+        return h[mt]
+
+    return jax.vmap(one)(texts, queries, mts, nqs)
+
+
+def score_batch_affine(texts, queries, cfg: ScoringConfig) -> "np.ndarray":
+    """Gotoh scores for a batch of pairs in one device dispatch.
+
+    ``texts``/``queries`` are sequences of int arrays; pairs pad to the
+    batch's (m_cap, n_cap) bucket.  The serving-path analog of the
+    bit-parallel/band batch kernels for affine configs."""
+    import numpy as np
+
+    if not cfg.is_affine:
+        raise ValueError("score_batch_affine requires an affine config")
+    batch = len(texts)
+    if batch == 0:
+        return np.zeros(0, np.int64)
+    mts = np.asarray([len(t) for t in texts], np.int32)
+    nqs = np.asarray([len(q) for q in queries], np.int32)
+    m_cap = max(1, int(mts.max()))
+    n_cap = max(1, int(nqs.max()))
+    tp = np.full((batch, m_cap), 14, np.int32)
+    qp = np.full((batch, n_cap), 15, np.int32)
+    for b in range(batch):
+        tp[b, : mts[b]] = np.asarray(texts[b], np.int32)
+        qp[b, : nqs[b]] = np.asarray(queries[b], np.int32)
+    out = np.asarray(
+        _batch_affine_impl(
+            jnp.asarray(tp), jnp.asarray(qp), jnp.asarray(mts),
+            jnp.asarray(nqs), cfg,
+        )
+    ).astype(np.int64)
+    # degenerate pairs: the scan never fires a live row / has no columns
+    for b in range(batch):
+        if mts[b] == 0 or nqs[b] == 0:
+            L = int(mts[b] + nqs[b])
+            if cfg.is_local or L == 0:
+                out[b] = 0
+            else:
+                out[b] = cfg.gap_open + cfg.gap_extend * L
+    return out
+
+
 def last_row(
     s1,
     s2,
