@@ -186,7 +186,10 @@ def _chunked_scan(
     (heads, score), _ = jax.lax.scan(
         block_step, init, jnp.arange(Q, dtype=jnp.int32)
     )
-    return score
+    # scores are integers (exactly representable under the f32 24-bit bound
+    # checked by score_fn); return int32 regardless of the value dtype so the
+    # public contract matches every other engine
+    return score.astype(jnp.int32)
 
 
 def score_fn(
