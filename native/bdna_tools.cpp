@@ -222,4 +222,156 @@ int64_t traceback_native(const int8_t* s1, int64_t m,
   return len;
 }
 
+// Unified flexible row-scan scorer (round 4): substitution matrix, linear
+// or affine (Gotoh) gaps, four alignment modes — the independent verifier
+// for the matrix/semiglobal capabilities of the JAX engines.
+//   mat:  K*K row-major int64 matrix indexed by symbol code (mat[a*K+b]
+//         scores s1-code a against s2-code b), or nullptr to use
+//         match/mismatch pair scoring.
+//   mode: 0 global, 1 local (SW), 2 semiglobal (both sequences' end gaps
+//         free; score = max over last row + last column), 3 infix (all of
+//         s2 aligned inside s1; s1 end gaps free; score = max over last
+//         row).
+// O(m) memory; int64 accumulators keep any scoring config exact.
+int64_t score_flex_native(const int8_t* s1, int64_t m,
+                          const int8_t* s2, int64_t n,
+                          const int64_t* mat, int64_t k,
+                          int64_t match, int64_t mismatch, int64_t gap,
+                          int64_t open_, int64_t ext,
+                          int affine, int mode) {
+  const bool local = (mode == 1);
+  const bool zero_row = local || mode == 2 || mode == 3;  // H(0, j) = 0
+  const bool zero_col = local || mode == 2;               // H(i, 0) = 0
+  const int64_t NEG = INT64_MIN / 4;
+  std::vector<int64_t> H((size_t)m + 1), F;
+  if (affine) F.assign((size_t)m + 1, NEG);
+  for (int64_t j = 0; j <= m; ++j) {
+    H[(size_t)j] = zero_row || j == 0
+                       ? 0
+                       : (affine ? open_ + j * ext : j * gap);
+  }
+  int64_t best = 0;                 // local running max
+  int64_t best_col = H[(size_t)m];  // last-column running max (ends-free)
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t diag = H[0];
+    H[0] = zero_col ? 0 : (affine ? open_ + i * ext : i * gap);
+    int64_t left = H[0];
+    int64_t e = NEG;
+    const int8_t c2 = s2[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t up = H[(size_t)j];
+      const int8_t c1 = s1[j - 1];
+      const int64_t sub =
+          mat ? mat[(size_t)((int64_t)c1 * k + c2)]
+              : (c1 == c2 ? match : mismatch);
+      int64_t v;
+      if (affine) {
+        F[(size_t)j] = std::max(up + open_, F[(size_t)j]) + ext;
+        e = std::max(left + open_, e) + ext;
+        v = std::max(diag + sub, std::max(e, F[(size_t)j]));
+      } else {
+        v = std::max(diag + sub, std::max(up, left) + gap);
+      }
+      if (local) {
+        v = std::max<int64_t>(v, 0);
+        best = std::max(best, v);
+      }
+      diag = up;
+      H[(size_t)j] = v;
+      left = v;
+    }
+    best_col = std::max(best_col, H[(size_t)m]);
+  }
+  if (local) return best;
+  if (mode == 2 || mode == 3) {
+    int64_t row_best = H[0];
+    for (int64_t j = 1; j <= m; ++j) row_best = std::max(row_best, H[(size_t)j]);
+    return mode == 2 ? std::max(row_best, best_col) : row_best;
+  }
+  return H[(size_t)m];
+}
+
+// Final DP row of the flexible linear-gap fill (Hirschberg building block
+// for matrix/ends-free cores): out[0..m] = H(n, j).  zero_row/zero_col
+// select the ends-free boundary variants.  O(m) memory.
+void last_row_flex_native(const int8_t* s1, int64_t m,
+                          const int8_t* s2, int64_t n,
+                          const int64_t* mat, int64_t k,
+                          int64_t match, int64_t mismatch, int64_t gap,
+                          int zero_row, int zero_col, int64_t* out) {
+  for (int64_t j = 0; j <= m; ++j) out[j] = zero_row ? 0 : j * gap;
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t diag = out[0];
+    out[0] = zero_col ? 0 : i * gap;
+    int64_t left = out[0];
+    const int8_t c2 = s2[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t up = out[j];
+      const int8_t c1 = s1[j - 1];
+      const int64_t sub =
+          mat ? mat[(size_t)((int64_t)c1 * k + c2)]
+              : (c1 == c2 ? match : mismatch);
+      int64_t v = std::max(diag + sub, std::max(up, left) + gap);
+      diag = up;
+      out[j] = v;
+      left = v;
+    }
+  }
+}
+
+// Locate an optimal cell of the flexible linear-gap fill.  Orthogonal
+// flags serve both the forward end-locate of local/semiglobal/infix modes
+// and the reversed, (0,0)-anchored start-locate (global boundaries):
+//   zero_row/zero_col: ends-free boundary variants (H(0,j)/H(i,0) = 0);
+//   floor:             Smith-Waterman zero floor on every cell;
+//   extract:           1 = argmax over all cells (row-major first
+//                      occurrence), 2 = last row then strictly-greater
+//                      last column (oracle._ends_free_start order),
+//                      3 = last row only.
+// Returns the score; *ie/*je receive the cell.  O(m) memory.
+int64_t locate_flex_native(const int8_t* s1, int64_t m,
+                           const int8_t* s2, int64_t n,
+                           const int64_t* mat, int64_t k,
+                           int64_t match, int64_t mismatch, int64_t gap,
+                           int zero_row, int zero_col, int floor_,
+                           int extract, int64_t* ie, int64_t* je) {
+  const int64_t NEG = INT64_MIN / 4;
+  std::vector<int64_t> H((size_t)m + 1);
+  for (int64_t j = 0; j <= m; ++j) H[(size_t)j] = zero_row ? 0 : j * gap;
+  int64_t best = NEG, bi = 0, bj = 0;          // all-cells argmax
+  if (extract == 1) {                          // boundary cells compete too
+    for (int64_t j = m; j >= 0; --j)
+      if (H[(size_t)j] >= best) { best = H[(size_t)j]; bj = j; }
+  }
+  int64_t bc = H[(size_t)m], bci = 0;          // last-column argmax
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t diag = H[0];
+    H[0] = zero_col ? 0 : i * gap;
+    if (extract == 1 && H[0] > best) { best = H[0]; bi = i; bj = 0; }
+    int64_t left = H[0];
+    const int8_t c2 = s2[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t up = H[(size_t)j];
+      const int8_t c1 = s1[j - 1];
+      const int64_t sub =
+          mat ? mat[(size_t)((int64_t)c1 * k + c2)]
+              : (c1 == c2 ? match : mismatch);
+      int64_t v = std::max(diag + sub, std::max(up, left) + gap);
+      if (floor_) v = std::max<int64_t>(v, 0);
+      if (extract == 1 && v > best) { best = v; bi = i; bj = j; }
+      diag = up;
+      H[(size_t)j] = v;
+      left = v;
+    }
+    if (H[(size_t)m] > bc) { bc = H[(size_t)m]; bci = i; }
+  }
+  if (extract == 1) { *ie = bi; *je = bj; return best; }
+  int64_t br = H[0], brj = 0;                  // last-row argmax
+  for (int64_t j = 1; j <= m; ++j)
+    if (H[(size_t)j] > br) { br = H[(size_t)j]; brj = j; }
+  if (extract == 2 && bc > br) { *ie = bci; *je = m; return bc; }
+  *ie = n; *je = brj;
+  return br;
+}
+
 }  // extern "C"

@@ -76,6 +76,12 @@ def resolve_impl(
         return "xla"
     import jax
 
+    if scoring is not None and (scoring.has_matrix or scoring.is_ends_free):
+        # round-4 scoring shapes: the band kernel serves them once its
+        # profile/extraction paths land; until then the XLA scan does
+        from .ops import band
+
+        return "band" if band.supports(scoring) else "xla"
     fam = None
     if scoring is not None:
         from .ops import bitpal
@@ -155,8 +161,12 @@ def align_score(
         try:
             return band.score(s1, s2, scoring, interpret=engine.interpret)
         except ValueError:  # outside the boundary-row envelope
-            # (the chunked tier is linear-gap; affine falls to the scan)
-            impl = "xla" if scoring.is_affine else "band-chunked"
+            # (the chunked tier is linear-gap pair scoring; affine and the
+            # round-4 shapes fall to the scan)
+            impl = "xla" if (
+                scoring.is_affine or scoring.has_matrix
+                or scoring.is_ends_free
+            ) else "band-chunked"
     if impl == "band-chunked":
         from .ops import band_chunked
 
@@ -203,6 +213,12 @@ def align(
             except RuntimeError:
                 pass
         return oracle.traceback(s1, s2, scoring)
+    if scoring.has_matrix or scoring.is_ends_free:
+        from .ops import ends_free
+
+        # round-4 shapes at scale: locate the optimal end/start cells with
+        # device scans, then align the global core with the classic engines
+        return ends_free.align_large(s1, s2, scoring, engine)
     if scoring.is_affine:
         from .ops import affine_align
 

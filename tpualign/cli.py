@@ -28,19 +28,28 @@ from .config import AlignMode, EngineConfig, ScoringConfig
 
 
 def _scoring(args) -> ScoringConfig:
+    matrix = None
+    if getattr(args, "matrix", None):
+        from . import matrices
+
+        matrix = matrices.parse(args.matrix)
     return ScoringConfig(
         match=args.match,
         mismatch=args.mismatch,
         gap=args.gap,
-        mode=AlignMode.LOCAL if args.mode == "sw" else AlignMode.GLOBAL,
+        mode=AlignMode(args.mode),
         gap_open=getattr(args, "gap_open", None),
         gap_extend=getattr(args, "gap_extend", None),
+        matrix=matrix,
     )
 
 
 def _add_scoring_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--mode", choices=["nw", "sw"], default="nw",
-                   help="global (Needleman-Wunsch) or local (Smith-Waterman)")
+    p.add_argument("--mode", choices=[m.value for m in AlignMode],
+                   default="nw",
+                   help="nw = global, sw = local (Smith-Waterman), "
+                        "sg = semiglobal/ends-free, infix = fit the second "
+                        "sequence inside the first")
     p.add_argument("--match", type=int, default=1)
     p.add_argument("--mismatch", type=int, default=0)
     p.add_argument("--gap", type=int, default=-1)
@@ -49,6 +58,10 @@ def _add_scoring_args(p: argparse.ArgumentParser) -> None:
                         "gap_open + L*gap_extend (overrides --gap; set "
                         "both affine flags together)")
     p.add_argument("--gap-extend", type=int, default=None)
+    p.add_argument("--matrix", type=str, default=None,
+                   help="substitution matrix: 'dna:match,transition,"
+                        "transversion' or explicit rows 'r00,r01,../r10,..' "
+                        "indexed by .bdna code (overrides --match/--mismatch)")
 
 
 def _add_engine_args(p: argparse.ArgumentParser) -> None:

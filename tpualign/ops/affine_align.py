@@ -38,7 +38,7 @@ from typing import Tuple
 
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 
 #: below this many table cells a node solves the flagged full table directly
 BASE_CELLS = 1 << 20
@@ -393,6 +393,7 @@ def align_local(
     substrings.  Returns the aligned strings of the matched substrings
     like ``oracle.traceback`` local mode.
     """
+    ensure_pair_modes(cfg, "affine_align")
     if not (cfg.is_affine and cfg.is_local):
         raise ValueError("align_local requires a local affine config")
     if cfg.mismatch > 0:
@@ -437,6 +438,7 @@ def align(
     optimal (tie choices may differ from the oracle's conventions — the
     score and validity are what is guaranteed, as with Hirschberg).
     """
+    ensure_pair_modes(cfg, "affine_align")
     if not cfg.is_affine:
         raise ValueError("align() in affine_align requires an affine config")
     if cfg.is_local:

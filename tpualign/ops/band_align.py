@@ -50,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from .pallas_diag import LANES, _round_up
 from .band import (
     NEG_INF,
@@ -500,6 +500,7 @@ def align_global(
     drop out of ``argmax(F + R)`` per row, and the row bands between them
     are walked by the native C++ traceback in parallel.
     """
+    ensure_pair_modes(cfg, "band_align")
     if cfg.is_affine:
         raise ValueError(
             "affine gaps are outside the band alignment's envelope; "
@@ -654,6 +655,7 @@ def align_local(
     ``oracle.traceback`` in local mode (optimal path; tie order may differ
     from the oracle's row-major-first convention).
     """
+    ensure_pair_modes(cfg, "band_align")
     if not cfg.is_local:
         raise ValueError("align_local requires a local (SW) config")
     if cfg.is_affine:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from .pallas_diag import LANES, _round_up
 from .band import MAX_BOUNDARY, PAD_CHAR, _wants_f32
 from .band_align import _strip_scan
@@ -59,6 +59,7 @@ def score_batch(
     ``texts[p]`` runs along the boundary axis (columns), ``queries[p]``
     along the strip axis (rows) — matching ``api.align_score(t, q)``.
     """
+    ensure_pair_modes(cfg, "band_batch")
     if cfg.is_affine:
         raise ValueError(
             "affine gaps are outside the batched band engine's envelope; "

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from .pallas_diag import LANES, _round_up
 from .band import NEG_INF, PAD_CHAR, _wants_f32
 from .band_align import _strip_call
@@ -204,6 +204,7 @@ def score_fn(
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)`` — the unbounded-boundary engine's analog of
     ``band.score_fn`` (all packing runs on device inside the jit)."""
+    ensure_pair_modes(cfg, "band_chunked")
     if cfg.is_affine:  # before ANY scoring, degenerate lengths included
         raise ValueError(
             "affine gaps are outside the chunked band engine's envelope; "
@@ -263,6 +264,7 @@ def score(
 ) -> int:
     """Alignment score with NO boundary-axis cap (both sequences may exceed
     ``band.MAX_BOUNDARY``; the limit is HBM).  NW any params, SW."""
+    ensure_pair_modes(cfg, "band_chunked")
     s1 = jnp.asarray(np.asarray(s1, np.int32))
     s2 = jnp.asarray(np.asarray(s2, np.int32))
     fn = score_fn(

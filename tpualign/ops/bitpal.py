@@ -133,7 +133,7 @@ def family(cfg: ScoringConfig):
     ``(1,0,-2)``, ``(2,0,-4)``, ``(3,2,-1)``; most realistic linear-gap
     scorings land at some small g.
     """
-    if cfg.is_local or cfg.is_affine:
+    if cfg.is_local or cfg.is_affine or cfg.is_ends_free or cfg.has_matrix:
         return None
     mult = cfg.match - cfg.mismatch
     if mult <= 0:

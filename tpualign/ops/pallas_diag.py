@@ -54,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 
 LANES = 128
 SUBLANES = 8
@@ -454,6 +454,7 @@ def score(
     The shorter sequence is placed on the diagonal (buffer) axis — the score is
     symmetric under swapping, and this minimizes resident state.
     """
+    ensure_pair_modes(cfg, "pallas_diag")
     s1 = jnp.asarray(s1, dtype=jnp.int32)
     s2 = jnp.asarray(s2, dtype=jnp.int32)
     if s1.shape[0] == 0 or s2.shape[0] == 0:
@@ -486,6 +487,7 @@ def score_fn(
     ``m = len(s1)`` must be >= ``n = len(s2)`` (no data-dependent swap inside
     jit); callers pass the longer sequence first.
     """
+    ensure_pair_modes(cfg, "pallas_diag")
     if n > m:
         raise ValueError("pass the longer sequence first (m >= n)")
     _check_cfg(cfg, n + m)

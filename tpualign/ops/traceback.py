@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EngineConfig, ScoringConfig
+from ..config import ensure_pair_modes, EngineConfig, ScoringConfig
 from ..io.bdna import BASES
 from . import xla as xla_ops
 
@@ -177,6 +177,7 @@ def align_checkpointed(
     ``k`` is the checkpoint stride (block edge).  Identical output to
     ``oracle.traceback`` — checked cell-exactly in tests.
     """
+    ensure_pair_modes(scoring, "traceback")
     if scoring.is_affine:
         raise ValueError(
             "affine gaps are outside the checkpointed traceback's envelope; "

@@ -25,7 +25,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from ..io.bdna import BASES
 from . import pallas_diag
 
@@ -182,6 +182,7 @@ def align_diag(
     Output is string-identical to ``oracle.traceback`` (same tie order and,
     for local mode, the same row-major-first maximum cell).
     """
+    ensure_pair_modes(cfg, "traceback_diag")
     if cfg.is_affine:
         raise ValueError(
             "affine gaps are outside the diagonal traceback's envelope; "

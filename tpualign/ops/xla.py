@@ -32,6 +32,20 @@ from ..config import AlignMode, ScoringConfig
 NEG_INF = jnp.int32(-(2**30))  # safe "minus infinity": far below any real score
 
 
+def _sub(s1: jax.Array, base: jax.Array, cfg: ScoringConfig) -> jax.Array:
+    """Per-column substitution scores for one DP row.
+
+    With a substitution matrix this is a gather ``matrix[s1, base]`` (the
+    (K, K) constant is hoisted out of the scan by XLA); otherwise the
+    classic match/mismatch select."""
+    if cfg.matrix is not None:
+        mat = jnp.asarray(cfg.matrix, dtype=jnp.int32)
+        return mat[s1, base]
+    return jnp.where(
+        s1 == base, jnp.int32(cfg.match), jnp.int32(cfg.mismatch)
+    )
+
+
 def _row_step(
     s1: jax.Array,
     jg: jax.Array,
@@ -42,10 +56,8 @@ def _row_step(
 ) -> jax.Array:
     """One DP row: previous row ``h_prev`` (len M+1), new row's column-0 value
     ``left0``, current ``s2`` base.  Returns the new row."""
-    match = jnp.int32(cfg.match)
-    mismatch = jnp.int32(cfg.mismatch)
     g = jnp.int32(cfg.gap)
-    sub = jnp.where(s1 == base, match, mismatch)
+    sub = _sub(s1, base, cfg)
     t = jnp.maximum(h_prev[:-1] + sub, h_prev[1:] + g)
     if cfg.is_local:
         t = jnp.maximum(t, 0)
@@ -62,8 +74,8 @@ def _affine_rows_scan(
     cfg: ScoringConfig,
     h0: jax.Array,
     left_col: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
-    """Gotoh fill: returns (last H row, running max).
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gotoh fill: returns (last H row, running max, last-column values).
 
     Per row, the vertical-gap matrix ``F`` is elementwise; the in-row
     horizontal-gap dependency unrolls to a log-depth cummax exactly like
@@ -73,14 +85,12 @@ def _affine_rows_scan(
     M = s1.shape[0]
     open_ = jnp.int32(cfg.gap_open)
     ext = jnp.int32(cfg.gap_extend)
-    match = jnp.int32(cfg.match)
-    mismatch = jnp.int32(cfg.mismatch)
     jext = jnp.arange(M + 1, dtype=jnp.int32) * ext
 
     def step(carry, xs):
         h_prev, f_prev, best = carry
         base, l0 = xs
-        sub = jnp.where(s1 == base, match, mismatch)
+        sub = _sub(s1, base, cfg)
         f = jnp.maximum(h_prev + open_, f_prev) + ext
         t = jnp.maximum(h_prev[:-1] + sub, f[1:])
         if cfg.is_local:
@@ -93,10 +103,10 @@ def _affine_rows_scan(
         return (h, f, best), h[-1]
 
     f0 = jnp.full(M + 1, NEG_INF, dtype=jnp.int32)
-    (h_last, _, best), _ = jax.lax.scan(
+    (h_last, _, best), right_col = jax.lax.scan(
         step, (h0, f0, NEG_INF), (s2, left_col)
     )
-    return h_last, best
+    return h_last, best, right_col
 
 
 def _rows_scan(
@@ -130,30 +140,45 @@ def _score_impl(s1: jax.Array, s2: jax.Array, cfg: ScoringConfig) -> jax.Array:
     M = s1.shape[0]
     N = s2.shape[0]
     g = jnp.int32(cfg.gap)
+    zero_row = cfg.is_local or cfg.free_start_s1  # H(0, j) = 0
+    zero_col = cfg.is_local or cfg.free_start_s2  # H(i, 0) = 0
+
+    def extract(h_last, best, right_col):
+        if cfg.is_local:
+            return jnp.maximum(best, 0)
+        if cfg.free_end_s1:
+            ans = jnp.max(h_last)
+            if cfg.free_end_s2:
+                # last column: rows 1..N via the scan outputs, row 0 via h0
+                ans = jnp.maximum(ans, jnp.maximum(jnp.max(right_col),
+                                                   h0[-1]))
+            return ans
+        return h_last[-1]
+
     if cfg.is_affine:
         open_ = jnp.int32(cfg.gap_open)
         ext = jnp.int32(cfg.gap_extend)
-        if cfg.is_local:
+        if zero_row:
             h0 = jnp.zeros(M + 1, dtype=jnp.int32)
-            left = jnp.zeros(N, dtype=jnp.int32)
         else:
             h0 = open_ + jnp.arange(M + 1, dtype=jnp.int32) * ext
             h0 = h0.at[0].set(0)
+        if zero_col:
+            left = jnp.zeros(N, dtype=jnp.int32)
+        else:
             left = open_ + (jnp.arange(N, dtype=jnp.int32) + 1) * ext
-        h_last, best = _affine_rows_scan(s1, s2, cfg, h0, left)
-        if cfg.is_local:
-            return jnp.maximum(best, 0)
-        return h_last[-1]
-    if cfg.is_local:
+        h_last, best, right_col = _affine_rows_scan(s1, s2, cfg, h0, left)
+        return extract(h_last, best, right_col)
+    if zero_row:
         h0 = jnp.zeros(M + 1, dtype=jnp.int32)
-        left = jnp.zeros(N, dtype=jnp.int32)
     else:
         h0 = jnp.arange(M + 1, dtype=jnp.int32) * g
+    if zero_col:
+        left = jnp.zeros(N, dtype=jnp.int32)
+    else:
         left = (jnp.arange(N, dtype=jnp.int32) + 1) * g
-    h_last, _, best = _rows_scan(s1, s2, cfg, h0, left)
-    if cfg.is_local:
-        return jnp.maximum(best, 0)
-    return h_last[-1]
+    h_last, right_col, best = _rows_scan(s1, s2, cfg, h0, left)
+    return extract(h_last, best, right_col)
 
 
 def score(s1, s2, cfg: ScoringConfig = ScoringConfig()) -> int:
@@ -161,12 +186,18 @@ def score(s1, s2, cfg: ScoringConfig = ScoringConfig()) -> int:
     s1 = jnp.asarray(s1, dtype=jnp.int32)
     s2 = jnp.asarray(s2, dtype=jnp.int32)
     if s1.shape[0] == 0 or s2.shape[0] == 0:
-        # degenerate: all-gap alignment (or empty local alignment)
-        if cfg.is_local:
+        # degenerate: all-gap alignment (or empty local/ends-free alignment)
+        if cfg.is_local or cfg.mode is AlignMode.SEMIGLOBAL:
             return 0
+        # infix: an empty query aligns for free; an empty text forces an
+        # all-gap alignment of the query
         L = s1.shape[0] + s2.shape[0]
+        if cfg.mode is AlignMode.INFIX:
+            L = s2.shape[0]
+        if L == 0:
+            return 0
         if cfg.is_affine:
-            return 0 if L == 0 else cfg.gap_open + cfg.gap_extend * L
+            return cfg.gap_open + cfg.gap_extend * L
         return cfg.gap * L
     return int(_score_impl(s1, s2, cfg))
 

@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from ..ops.pallas_diag import LANES, _round_up
 from ..ops.band import NEG_INF, MAX_BOUNDARY, _wants_f32
 from ..ops.band_align import _strip_call
@@ -135,6 +135,7 @@ def score_fn(
     """Jittable sharded ``(s1_packed, scs, s2cm, heads0) -> score`` builder;
     returns ``(fn, prep)`` where ``prep(s1, s2)`` builds the device operands
     (``fn = jit(fn)``-able; ``prep`` runs host-side packing + device_put)."""
+    ensure_pair_modes(cfg, "band_strips")
     if mesh is None:
         mesh = make_mesh()
     P = int(mesh.devices.size)
@@ -216,6 +217,7 @@ def score(
 ) -> int:
     """Alignment score with the text axis sharded over the mesh and the band
     kernel filling each shard (NW any params, SW)."""
+    ensure_pair_modes(cfg, "band_strips")
     s1 = np.asarray(s1)
     s2 = np.asarray(s2)
     m, n = int(s1.size), int(s2.size)

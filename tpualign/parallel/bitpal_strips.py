@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from ..ops import bitpal
 from ..ops.bitpal import (
     ALPHABET,
@@ -188,6 +188,7 @@ def score_fn(
 ):
     """Jittable sharded ``(s1, s2) -> score``; ``s1`` = text (columns),
     ``s2`` = query (rows, sharded as 31-row words over the mesh)."""
+    ensure_pair_modes(cfg, "bitpal_strips")
     fam = bitpal.family(cfg)
     if fam is None:
         raise ValueError(
@@ -310,6 +311,7 @@ def score(
     interpret: bool = False,
 ) -> int:
     """Sharded bit-parallel NW score (see module docstring)."""
+    ensure_pair_modes(cfg, "bitpal_strips")
     if mesh is None:
         mesh = make_mesh()
     s1 = jnp.asarray(np.asarray(s1), jnp.int32)

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ScoringConfig
+from ..config import ensure_pair_modes, ScoringConfig
 from ..ops import xla as xla_ops
 from .mesh import AXIS, make_mesh
 
@@ -297,6 +297,7 @@ def score(
     decomposition mirrors ``src/mpi/mpi-vert.cpp`` with ``chunk_rows`` playing
     the role of ``COMMBUF_SIZE``.
     """
+    ensure_pair_modes(cfg, "strips")
     if mesh is None:
         mesh = make_mesh()
     P = mesh.devices.size
@@ -343,6 +344,7 @@ def score_fn(
     Caller must pre-pad: ``s1`` to ``P * ceil(m/P)`` columns, ``s2`` to
     ``n_chunks * chunk`` rows (see :func:`score` for the exact layout).
     """
+    ensure_pair_modes(cfg, "strips")
     if mesh is None:
         mesh = make_mesh()
     P = mesh.devices.size

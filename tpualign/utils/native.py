@@ -62,6 +62,29 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.affine_score_native.restype = ctypes.c_int64
     i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+    lib.score_flex_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.score_flex_native.restype = ctypes.c_int64
+    lib.last_row_flex_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, i64p,
+    ]
+    lib.last_row_flex_native.restype = None
+    lib.locate_flex_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.locate_flex_native.restype = ctypes.c_int64
     lib.traceback_native.argtypes = [
         i8p, ctypes.c_int64, i8p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -96,7 +119,7 @@ def validate(seq: np.ndarray) -> int:
 
 def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
     """Independent native CPU scorer (validation oracle for big pairs)."""
-    from ..config import ScoringConfig
+    from ..config import AlignMode, ScoringConfig
 
     if cfg is None:
         cfg = ScoringConfig()
@@ -105,6 +128,30 @@ def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
         raise RuntimeError("native library unavailable")
     s1 = np.ascontiguousarray(s1, dtype=np.int8)
     s2 = np.ascontiguousarray(s2, dtype=np.int8)
+    if cfg.has_matrix or cfg.is_ends_free:
+        # round-4 capabilities route through the unified flexible scorer
+        mode = {AlignMode.GLOBAL: 0, AlignMode.LOCAL: 1,
+                AlignMode.SEMIGLOBAL: 2, AlignMode.INFIX: 3}[cfg.mode]
+        if cfg.has_matrix:
+            mat = np.ascontiguousarray(
+                np.asarray(cfg.matrix, dtype=np.int64))
+            k = mat.shape[0]
+            hi = max(int(s1.max(initial=0)), int(s2.max(initial=0)))
+            if hi >= k or min(int(s1.min(initial=0)),
+                              int(s2.min(initial=0))) < 0:
+                raise ValueError(
+                    "sequence codes outside the matrix alphabet")
+            mat_ptr = mat.ctypes.data_as(ctypes.c_void_p)
+        else:
+            mat, mat_ptr, k = None, None, 0
+        return int(
+            lib.score_flex_native(
+                s1, s1.size, s2, s2.size, mat_ptr, k,
+                cfg.match, cfg.mismatch, cfg.gap,
+                cfg.gap_open or 0, cfg.gap_extend or 0,
+                1 if cfg.is_affine else 0, mode,
+            )
+        )
     if cfg.is_affine:
         return int(
             lib.affine_score_native(
@@ -121,6 +168,73 @@ def score(s1: np.ndarray, s2: np.ndarray, cfg=None) -> int:
     )
 
 
+def _mat_ptr(cfg):
+    """(mat_keepalive, ptr, K) for a config's matrix, or (None, None, 0)."""
+    if not cfg.has_matrix:
+        return None, None, 0
+    mat = np.ascontiguousarray(np.asarray(cfg.matrix, dtype=np.int64))
+    return mat, mat.ctypes.data_as(ctypes.c_void_p), mat.shape[0]
+
+
+def last_row_flex(s1: np.ndarray, s2: np.ndarray, cfg,
+                  *, zero_row: bool, zero_col: bool) -> np.ndarray:
+    """Final DP row of the linear-gap fill with selectable ends-free
+    boundaries — the Hirschberg building block for matrix cores."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if cfg.is_affine:
+        raise RuntimeError("last_row_flex is linear-gap only")
+    s1 = np.ascontiguousarray(s1, dtype=np.int8)
+    s2 = np.ascontiguousarray(s2, dtype=np.int8)
+    mat, ptr, k = _mat_ptr(cfg)
+    out = np.empty(s1.size + 1, dtype=np.int64)
+    lib.last_row_flex_native(
+        s1, s1.size, s2, s2.size, ptr, k,
+        cfg.match, cfg.mismatch, cfg.gap,
+        1 if zero_row else 0, 1 if zero_col else 0, out,
+    )
+    return out
+
+
+def locate_flex(s1: np.ndarray, s2: np.ndarray, cfg, *, anchored=False):
+    """(score, i, j) of an optimal cell of the linear-gap fill.
+
+    ``anchored=False``: forward end-locate for local/semiglobal/infix modes
+    (ends-free boundaries; argmax conventions match the oracle walks).
+    ``anchored=True``: the reversed start-locate — global (gap-penalized)
+    boundaries so every path is anchored at (0, 0), same extraction set.
+    """
+    from ..config import AlignMode
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if cfg.is_affine:
+        raise RuntimeError("locate_flex is linear-gap only")
+    extract = {AlignMode.LOCAL: 1, AlignMode.SEMIGLOBAL: 2,
+               AlignMode.INFIX: 3}[cfg.mode]
+    if anchored:
+        zero_row = zero_col = floor = 0
+    else:
+        local = cfg.mode is AlignMode.LOCAL
+        zero_row = 1
+        zero_col = 1 if (local or cfg.mode is AlignMode.SEMIGLOBAL) else 0
+        floor = 1 if local else 0
+    s1 = np.ascontiguousarray(s1, dtype=np.int8)
+    s2 = np.ascontiguousarray(s2, dtype=np.int8)
+    mat, ptr, k = _mat_ptr(cfg)
+    ie = ctypes.c_int64(0)
+    je = ctypes.c_int64(0)
+    sc = lib.locate_flex_native(
+        s1, s1.size, s2, s2.size, ptr, k,
+        cfg.match, cfg.mismatch, cfg.gap,
+        zero_row, zero_col, floor, extract,
+        ctypes.byref(ie), ctypes.byref(je),
+    )
+    return int(sc), int(ie.value), int(je.value)
+
+
 def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
     """Full-table traceback in C++ — byte-identical output to
     ``ops.oracle.traceback`` (same diag>up>left tie order; SW starts at the
@@ -135,6 +249,10 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
         raise RuntimeError(
             "native traceback is linear-gap only; the oracle's three-state "
             "walk serves affine configs")
+    if cfg.has_matrix or cfg.is_ends_free:
+        raise RuntimeError(
+            "native traceback covers pair-scored global/local configs; "
+            "the oracle walk serves matrix/ends-free configs")
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
