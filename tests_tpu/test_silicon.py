@@ -209,3 +209,28 @@ def test_affine_alignment_on_chip():
     sc, a1, a2 = affine_align.align(s1, s2, cfg)
     assert oracle.alignment_score(a1, a2, cfg) == sc
     assert sc == oracle.score(s1, s2, cfg)
+
+
+def test_matrix_and_ends_free_on_chip():
+    # round-4 scoring shapes: the band kernel's profile planes and the
+    # ends-free extraction compile on Mosaic and agree with the oracle
+    from tpualign import align_score
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.matrices import dna
+    from tpualign.ops import band, oracle
+
+    MAT = dna(2, -1, -3)
+    s1, s2 = random_pair(3000, 2800, seed=19)
+    for cfg in (
+        ScoringConfig(gap=-2, matrix=MAT),
+        ScoringConfig(gap=-2, matrix=MAT, mode=AlignMode.LOCAL),
+        ScoringConfig(match=2, mismatch=-1, gap=-2,
+                      mode=AlignMode.SEMIGLOBAL),
+        ScoringConfig(match=2, mismatch=-1, gap=-2, mode=AlignMode.INFIX),
+        ScoringConfig(gap=-2, matrix=MAT, mode=AlignMode.SEMIGLOBAL),
+        ScoringConfig(gap=-2, matrix=MAT, gap_open=-5, gap_extend=-2),
+    ):
+        want = oracle.score(s1, s2, cfg)
+        assert band.score(s1, s2, cfg) == want, cfg
+        assert align_score(s1, s2, cfg) == want, cfg  # auto -> band

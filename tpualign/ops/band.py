@@ -71,10 +71,30 @@ orientation is chosen per problem.  Reference semantics: the recurrence of
 ``serial.cpp:23-31`` with ``H[0][j] = j*gap, H[i][0] = i*gap``
 (``serial.cpp:16-17``); SW adds the zero floor and max-cell tracking the
 reference lacks (README.md:2 announces SW but never implements it).
+
+Round-4 scoring shapes (both beyond the reference)
+--------------------------------------------------
+* **Substitution matrices** (5-code alphabets): the strip's query chars are
+  constant, so ``matrix[w][s2cm]`` is precomputed per strip into K VMEM
+  **profile planes** (a K*K select tree amortized over the sweep); the
+  per-step substitution is then a K-way select over the sliding text char.
+  The scalar top row reads a host-precomputed (strip, char) SMEM profile.
+  Sentinel chars (pad rows 5, post-text 6) score ``min(0, min(matrix))``,
+  restoring the decay guarantee that lets SW's running max go unmasked.
+  Asymmetric matrices transpose with the orientation swap.
+* **Ends-free modes** (semiglobal ``sg`` / ``infix``), via four
+  kernel-coordinate flags (:func:`_ends_flags`): zero boundary row (zr) /
+  zero injected column (zc); score extraction as a running max over the
+  last DP row (er: slot ``k*`` of the peeled last strip — or the scalar
+  chain when ``k* == 0``) and a j = m column-capture plane reduced per
+  strip (ec); the j = 0 / i = 0 boundary cells are closed-form outside the
+  kernel.  Affine + ends-free is served by the XLA scan (no boundary-F
+  ends-free forms here yet).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -138,34 +158,59 @@ def _band_kernel_body(
     t_steps: int,
     unroll: int,
     cfg: ScoringConfig,
+    ends,  # kernel-coordinate (zr, zc, er, ec) flags, see _ends_flags
     vdt,  # value dtype: jnp.float32 (24-bit-exact fast path) or jnp.int32
-    # inputs
-    s1_ref,  # SMEM (m/8,) packed text, 8 chars per int32 (4 bits each)
-    s2tops_ref,  # SMEM (n_strips,) char of each strip's top row
-    s2cm_ref,  # VMEM (n_strips*nr, LANES) column-major strip chars
-    # output
-    out_ref,  # SMEM (1, 1) score, value dtype
-    # scratch
-    a0_ref,
-    a0s_ref,
-    a1_ref,
-    a1s_ref,
-    w_ref,
-    v_ref,
-    snap_ref,
-    pendv_ref,  # (8, LANES) value hand-off ring (lane-rolled tail rows)
-    pendw_ref,  # (8, LANES) char-window hand-off ring
-    b_ref,  # SMEM (m + 3,) boundary row H(i0, :)
-    # affine (Gotoh) only — E plane, shifted-F plane, F hand-off ring,
-    # F boundary row (see the affine notes in the substep)
-    *aff,
+    # positional refs, in pallas order — inputs:
+    #   s1_ref      SMEM (m/8,) packed text, 8 chars per int32 (4 bits each)
+    #   s2tops_ref  SMEM (n_strips,) char of each strip's top row
+    #   s2cm_ref    VMEM (n_strips*nr, LANES) column-major strip chars
+    #   prof0_ref   SMEM (n_strips*8,) top-row substitution profile
+    #               ``matrix[ch][s2_first]`` per (strip, text char) — matrix
+    #               mode only
+    # then the output:
+    #   out_ref     SMEM (1, 1) score, value dtype
+    # then scratch:
+    #   a0/a0s/a1/a1s  (nr, LANES) ping-pong value planes (raw + shifted)
+    #   w_ref          char window, v_ref SW running max, snap_ref snapshot
+    #   pendv/pendw    (8, LANES) hand-off rings, b_ref SMEM boundary row
+    #   [affine] E plane, shifted-F plane, F ring, F boundary row
+    #   [ec] vcol_ref  last-column capture plane (j = m front)
+    #   [er] vrow_ref  last-row running max plane (k* slot, last strip)
+    #   [matrix] K substitution profile planes ``matrix[w][s2cm]``
+    s1_ref,
+    s2tops_ref,
+    s2cm_ref,
+    *rest,
 ):
-    match = vdt(cfg.match)
-    mismatch = vdt(cfg.mismatch)
+    zr, zc, er, ec = ends
+    has_matrix = cfg.has_matrix
+    K = len(cfg.matrix) if has_matrix else 0
+    i_arg = 0
+    if has_matrix:
+        prof0_ref = rest[0]
+        i_arg = 1
+    (out_ref, a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, v_ref, snap_ref,
+     pendv_ref, pendw_ref, b_ref) = rest[i_arg:i_arg + 11]
+    rest = rest[i_arg + 11:]
+    if cfg.is_affine:
+        e_ref, fs_ref, pendf_ref, bf_ref = rest[:4]
+        rest = rest[4:]
+    if ec:
+        vcol_ref = rest[0]
+        rest = rest[1:]
+    if er:
+        vrow_ref = rest[0]
+        rest = rest[1:]
+    prof_refs = list(rest[:K]) if has_matrix else []
+
+    if not has_matrix:
+        match = vdt(cfg.match)
+        mismatch = vdt(cfg.mismatch)
+    else:
+        min0 = vdt(_min0(cfg))
     g = vdt(cfg.gap)
     affine = cfg.is_affine
     if affine:
-        e_ref, fs_ref, pendf_ref, bf_ref = aff
         open_ = vdt(cfg.gap_open)
         ext = vdt(cfg.gap_extend)
         g = ext  # head_base spacing: H(i, 0) = open + i*ext (global)
@@ -173,8 +218,13 @@ def _band_kernel_body(
     # pad/dead cells only decay under these signs; the rare SW config
     # outside them keeps a masked running max (correct, a little slower).
     # Affine opens/extends are <= 0 by construction (_check_cfg rejects
-    # positive-mismatch local affine).
-    unmasked_vmax = cfg.mismatch <= 0 and (affine or cfg.gap <= 0)
+    # positive-mismatch local affine).  In matrix mode the sentinel
+    # profile value (_min0 <= 0) restores the decay guarantee for any
+    # matrix, so only the gap sign matters.
+    if has_matrix:
+        unmasked_vmax = affine or cfg.gap <= 0
+    else:
+        unmasked_vmax = cfg.mismatch <= 0 and (affine or cfg.gap <= 0)
     R = nr * LANES
     phase, k_flat = _phase_grid(nr)
     lane_is0 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
@@ -192,15 +242,20 @@ def _band_kernel_body(
         jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         == (k_star % nr) - snap_r0
     ) & (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1) == k_star // nr)
+    if er:
+        # last-DP-row extraction: slot k* is the only plane slot carrying
+        # row n (k_star == 0 rides the scalar top-row chain instead)
+        kstar_mask = k_flat == k_star
 
     if local:
         live_ramp = None  # built per strip (needs i_mask) when masked
 
-    # --- strip-0 boundary row: H(0, j) = j * gap (0 for SW); affine
-    # H(0, j>=1) = open + j*ext and F(0, :) = -inf (no gap above row 0) ---
+    # --- strip-0 boundary row: H(0, j) = j * gap (0 for SW and the
+    # ends-free zr modes); affine H(0, j>=1) = open + j*ext and
+    # F(0, :) = -inf (no gap above row 0) ---
     def binit(j, _):
         jv = jnp.int32(j).astype(vdt)
-        if local:
+        if local or zr:
             b_ref[j] = vdt(0)
         elif affine:
             b_ref[j] = jnp.where(j == 0, vdt(0), open_ + jv * ext)
@@ -214,9 +269,12 @@ def _band_kernel_body(
     if local:
         v_ref[:] = jnp.zeros((nr, LANES), vdt)
 
-    def strip(s, aux_in):
+    def strip(s, aux_in, last):
+        # ``last`` is a PYTHON bool: the final strip is peeled out of the
+        # fori so its extraction work (NW snapshot, last-row running max)
+        # compiles only where it runs
         i0 = s * R  # boundary row index: B = H(i0, :)
-        if local:
+        if local or zc:
             i0g = vdt(0)
         elif affine:
             i0g = jnp.where(
@@ -241,7 +299,7 @@ def _band_kernel_body(
             bf0 = vdt(NEG_INF) if local else jnp.where(
                 i0 == 0, vdt(NEG_INF), i0g
             )
-        if local:  # SW boundary: H(i, 0) = 0
+        if local or zc:  # SW / free-start boundary: H(i, 0) = 0
             head_vals = jnp.zeros((nr, LANES), vdt)
         elif affine:  # H(i0+1+k, 0) = open + (i0+1+k) * ext
             head_vals = open_ + (jnp.int32(i0 + 1).astype(vdt)) * ext \
@@ -250,11 +308,24 @@ def _band_kernel_body(
             head_vals = (jnp.int32(i0 + 1).astype(vdt)) * g + head_base
         s2cm = s2cm_ref[pl.ds(s * nr, nr), :]
         s2_first = s2tops_ref[s]  # char of the strip's top row
+        if has_matrix:
+            # per-strip substitution profile planes: prof[w] =
+            # matrix[w][s2cm] — s2cm is constant per strip, so the K*K
+            # select tree amortizes over the whole sweep; pad rows
+            # (PAD_CHAR) fall through to the decaying sentinel value
+            for w in range(K):
+                p = jnp.full((nr, LANES), min0, vdt)
+                for b in range(K):
+                    p = jnp.where(s2cm == b, vdt(cfg.matrix[w][b]), p)
+                prof_refs[w][:] = p
         if local and not unmasked_vmax:
             n_loc = n - i0  # rows beyond the query are masked from the max
             i_mask = k_flat < n_loc
-        is_last = s == n_strips - 1
-        t_snap = jnp.where(is_last, t_star, -1)
+        if ec:
+            vcol_ref[:] = neg  # j = m front capture, reduced per strip
+        if er and last and k_star != 0:
+            vrow_ref[:] = neg
+        t_snap = t_star if last else None
         fix_snap0 = snap_r0 == 0  # snapshot tile contains the cand-fixed row
 
         def substep(t, u, bjm1, bj, bjf, c0s, e0s, aux, a_ref, as_ref,
@@ -270,14 +341,27 @@ def _band_kernel_body(
             )
             w_new = _shift1(w_row0, w_ref[:], nr)
             w_ref[:] = w_new
-            sub = jnp.where(s2cm == w_new, match, mismatch)
+            if has_matrix:
+                # K-way select tree over the text char against the
+                # precomputed per-strip profile planes; sentinel chars
+                # (post-text 6) fall through to the decaying default
+                sub = jnp.full((nr, LANES), min0, vdt)
+                for w in range(K - 1, -1, -1):
+                    sub = jnp.where(w_new == w, prof_refs[w][:], sub)
+            else:
+                sub = jnp.where(s2cm == w_new, match, mismatch)
             # --- TOP ROW IS SCALAR.  Slot (0, 0)'s in-plane inputs are NEG
             # by construction (its up/diag live in the boundary row), so the
             # true cell H(i0+1, t) follows the pure scalar recurrence
             #   c0s_t = max(B[t-1] + sub0, B[t] + g, c0s_{t-1} + g)
             # on the scalar core — no plane-wide select, no sub-vreg store.
             # ``bjm1``/``bj`` are read per block (no serial carry on B). ---
-            sub0 = jnp.where(s2_first == ch, match, mismatch)
+            if has_matrix:
+                # one dynamic SMEM load, off the vector path: the
+                # (strip, text char) profile is precomputed host-side
+                sub0 = prof0_ref[s * 8 + ch]
+            else:
+                sub0 = jnp.where(s2_first == ch, match, mismatch)
             if affine:
                 # Gotoh top row: the up-gap F(i0+1, t) closes/extends from
                 # BOTH boundary rows; the left-gap E rides a second scalar
@@ -330,16 +414,42 @@ def _band_kernel_body(
                     aux = jnp.maximum(
                         aux, jnp.where(t <= m, c0s, vdt(NEG_INF))
                     )
-            elif k_star == 0:
-                # answer cell is the scalar top cell of the last strip
-                aux = jnp.where(t == t_snap, c0s, aux)
-            else:
-                # branchless single-vreg snapshot of the H(n, m) tile
-                # (t_snap == t_star only on the last strip)
-                src = new[snap_r0 : snap_r0 + 8, :]
-                if fix_snap0:  # tile row 0 carries the scalar top cell
-                    src = jnp.concatenate([c0, src[1:, :]], axis=0)
-                snap_ref[:] = jnp.where(t == t_snap, src, snap_ref[:])
+            elif er or ec:
+                # ends-free extraction (garbage slot (0, 0) reads as
+                # ~NEG_INF + O(wmax) — far below any real score, harmless)
+                if ec:
+                    # each slot passes j = m exactly once, at t = m + phase:
+                    # capture then, reduce (live rows only) at strip end
+                    vcol_ref[:] = jnp.where(
+                        phase == t - m, new, vcol_ref[:]
+                    )
+                    # the scalar top row's j = m cell: H(i0+1, m) at t = m
+                    aux = jnp.maximum(
+                        aux, jnp.where(t == m, c0s, vdt(NEG_INF))
+                    )
+                if er and last:
+                    if k_star == 0:
+                        # DP row n IS the last strip's scalar top row
+                        live0 = jnp.logical_and(t >= 1, t <= m)
+                        aux = jnp.maximum(
+                            aux, jnp.where(live0, c0s, vdt(NEG_INF))
+                        )
+                    else:
+                        # slot k* sweeps row n cells j = t - phase in [1, m]
+                        rm = kstar_mask & (phase >= t - m) & (phase < t)
+                        vrow_ref[:] = jnp.maximum(
+                            vrow_ref[:], jnp.where(rm, new, neg)
+                        )
+            elif last:
+                if k_star == 0:
+                    # answer cell is the scalar top cell of the last strip
+                    aux = jnp.where(t == t_snap, c0s, aux)
+                else:
+                    # branchless single-vreg snapshot of the H(n, m) tile
+                    src = new[snap_r0 : snap_r0 + 8, :]
+                    if fix_snap0:  # tile row 0 carries the scalar top cell
+                        src = jnp.concatenate([c0, src[1:, :]], axis=0)
+                    snap_ref[:] = jnp.where(t == t_snap, src, snap_ref[:])
 
             oa_ref[:] = new
             v_row0 = jnp.where(
@@ -432,9 +542,18 @@ def _band_kernel_body(
         # head injections only happen while t <= max phase: split the sweep
         # so the steady-state blocks skip the injection select entirely
         t_head = min(t_steps, _round_up(p_max + 2, unroll))
-        # linear: the c0s carry seeds the left chain with H(i0, 0); affine
-        # seeds NEG (t=0 derives H(i0+1, 0) from the boundary F instead)
-        c0s0 = vdt(NEG_INF) if affine else i0g
+        # linear: the c0s carry seeds the left chain so that
+        # c0s(0) = max(-, seed + g) = H(i0+1, 0).  Gap-penalized boundaries
+        # seed H(i0, 0); zero boundaries (local / zc) seed -g so the chain
+        # lands exactly on 0 — seeding 0 would drift by g (visible with
+        # positive gaps, and for zc whenever the boundary is on the path).
+        # Affine seeds NEG (t=0 derives H(i0+1, 0) from the boundary F).
+        if affine:
+            c0s0 = vdt(NEG_INF)
+        elif local or zc:
+            c0s0 = vdt(-cfg.gap)
+        else:
+            c0s0 = i0g
         carry = jax.lax.fori_loop(
             0, t_head // unroll, block_ramp, (c0s0, vdt(NEG_INF), aux_in),
             unroll=False,
@@ -443,17 +562,32 @@ def _band_kernel_body(
             t_head // unroll, t_steps // unroll, block_steady, carry,
             unroll=False,
         )
-        return carry[2]
+        aux = carry[2]
+        if ec:
+            # reduce the j = m capture plane over this strip's live rows
+            # (k = 0 is the garbage slot — its row rides the scalar chain)
+            live_col = jnp.logical_and(k_flat >= 1, k_flat < n - i0)
+            aux = jnp.maximum(
+                aux, jnp.max(jnp.where(live_col, vcol_ref[:], neg))
+            )
+        return aux
 
     aux0 = vdt(0) if local else vdt(NEG_INF)
     aux_out = jax.lax.fori_loop(
-        0, n_strips, lambda s, a: strip(s, a), aux0, unroll=False
+        0, n_strips - 1, lambda s, a: strip(s, a, False), aux0,
+        unroll=False,
     )
+    aux_out = strip(n_strips - 1, aux_out, True)
 
     if local:
         out_ref[0, 0] = jnp.maximum(
             jnp.maximum(jnp.max(v_ref[:]), aux_out), vdt(0)
         )
+    elif er or ec:
+        ans = aux_out
+        if er and k_star != 0:
+            ans = jnp.maximum(ans, jnp.max(vrow_ref[:]))
+        out_ref[0, 0] = ans
     elif k_star == 0:
         out_ref[0, 0] = aux_out
     else:
@@ -464,21 +598,26 @@ def _band_kernel_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "m", "nr", "cfg", "use_f32", "unroll", "interpret"),
+    static_argnames=(
+        "n", "m", "nr", "cfg", "ends", "use_f32", "unroll", "interpret"
+    ),
 )
 def _band_call(
     s1_packed: jax.Array,
     s2tops: jax.Array,
     s2cm: jax.Array,
+    prof0,  # (n_strips*8,) top-row matrix profile, or None
     n: int,
     m: int,
     nr: int,
     cfg: ScoringConfig,
+    ends,  # kernel-coordinate (zr, zc, er, ec)
     use_f32: bool,
     unroll: int,
     interpret: bool,
 ) -> jax.Array:
     vdt = jnp.float32 if use_f32 else jnp.int32
+    zr, zc, er, ec = ends
     R = nr * LANES
     n_strips = -(-n // R)
     # full strips must drain through phase(R-1); a lone strip only through
@@ -491,8 +630,18 @@ def _band_call(
     p_need = (k_last % nr) + (k_last // nr) * (nr + 2)
     t_steps = _round_up(m + p_need + 132, unroll)
     kernel = functools.partial(
-        _band_kernel_body, n, m, nr, n_strips, t_steps, unroll, cfg, vdt
+        _band_kernel_body, n, m, nr, n_strips, t_steps, unroll, cfg, ends,
+        vdt,
     )
+    ins = [s1_packed, s2tops, s2cm]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if cfg.has_matrix:
+        ins.append(prof0)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     scratch = [pltpu.VMEM((nr, LANES), vdt) for _ in range(4)]
     scratch.append(pltpu.VMEM((nr, LANES), jnp.int32))  # char window
     scratch.append(pltpu.VMEM((nr, LANES), vdt))  # SW running max
@@ -505,18 +654,21 @@ def _band_call(
         scratch.append(pltpu.VMEM((nr, LANES), vdt))  # shifted F plane
         scratch.append(pltpu.VMEM((8, LANES), vdt))  # F hand-off ring
         scratch.append(pltpu.SMEM((m + 3,), vdt))  # F boundary row
+    if ec:
+        scratch.append(pltpu.VMEM((nr, LANES), vdt))  # j = m capture
+    if er:
+        scratch.append(pltpu.VMEM((nr, LANES), vdt))  # row-n running max
+    if cfg.has_matrix:
+        for _ in range(len(cfg.matrix)):  # substitution profile planes
+            scratch.append(pltpu.VMEM((nr, LANES), vdt))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), vdt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(s1_packed, s2tops, s2cm)
+    )(*ins)
     return out[0, 0].astype(jnp.int32)
 
 
@@ -552,14 +704,60 @@ def _colmajor(s2: jax.Array, n: int, nr: int) -> jax.Array:
 
 def _wmax(cfg: ScoringConfig) -> int:
     """Largest per-step value change (drift/f32-exactness bound)."""
+    if cfg.has_matrix:
+        lo, hi = cfg.sub_bounds()
+        sub_mag = max(abs(lo), abs(hi), 1)
+    else:
+        sub_mag = max(abs(cfg.match), abs(cfg.mismatch), 1)
     if cfg.is_affine:
-        return max(abs(cfg.match), abs(cfg.mismatch),
-                   abs(cfg.gap_open) + abs(cfg.gap_extend), 1)
-    return max(abs(cfg.gap), abs(cfg.match), abs(cfg.mismatch), 1)
+        return max(sub_mag, abs(cfg.gap_open) + abs(cfg.gap_extend))
+    return max(sub_mag, abs(cfg.gap))
+
+
+def _min0(cfg: ScoringConfig) -> int:
+    """Sentinel substitution score (pad rows / post-text chars) in matrix
+    mode: <= 0 and <= every real entry, so dead cells only decay —
+    the same decay guarantee pair scoring gets from ``mismatch <= 0``."""
+    lo, _ = cfg.sub_bounds()
+    return min(0, lo)
+
+
+def _ends_flags(cfg: ScoringConfig, swapped: bool):
+    """Kernel-coordinate ends-free flags ``(zr, zc, er, ec)``.
+
+    ``zr``: boundary row H(0, :) = 0; ``zc``: injected column H(:, 0) = 0;
+    ``er``: score maxes over the last DP row (j = 0..m); ``ec``: over the
+    last column (i = 0..n).  Swapping the orientation transposes the table,
+    exchanging row flags with column flags.
+    """
+    if not cfg.is_ends_free:
+        return (False, False, False, False)
+    zr, zc = cfg.free_start_s1, cfg.free_start_s2
+    er, ec = cfg.free_end_s1, cfg.free_end_s2
+    if swapped:
+        zr, zc, er, ec = zc, zr, ec, er
+    return (zr, zc, er, ec)
+
+
+def supports(cfg: ScoringConfig) -> bool:
+    """True when this kernel serves ``cfg``'s scoring shape (dispatch
+    consults this; unsupported shapes run on the xla engine)."""
+    if cfg.has_matrix and len(cfg.matrix) != 5:
+        # the strip layout's sentinel codes (PAD_CHAR 5, post-text 6)
+        # collide with live codes of wider alphabets
+        return False
+    if cfg.is_ends_free and cfg.is_affine:
+        return False  # the Gotoh boundary-F machinery lacks ends-free forms
+    return True
 
 
 def _check_cfg(cfg: ScoringConfig, total: int) -> None:
-    if cfg.is_affine and cfg.is_local and cfg.mismatch > 0:
+    if not supports(cfg):
+        raise ValueError(
+            "this scoring shape is outside the band kernel's envelope; "
+            "use impl='xla'")
+    if (cfg.is_affine and cfg.is_local and not cfg.has_matrix
+            and cfg.mismatch > 0):
         # the unmasked running max needs decaying dead cells; the masked
         # fallback only exists on the linear path
         raise ValueError(
@@ -592,6 +790,20 @@ def _orient(m: int, n: int, cap: int = MAX_BOUNDARY):
     )
 
 
+def _empty_score(m: int, n: int, cfg: ScoringConfig) -> int:
+    """Closed-form score when either sequence is empty."""
+    if cfg.is_local or m + n == 0:
+        return 0
+    if cfg.is_ends_free:
+        if n == 0:  # s1 runs against nothing: skippable iff an s1 end is free
+            return 0 if (cfg.free_start_s1 or cfg.free_end_s1) \
+                else cfg.gap * m
+        return 0 if (cfg.free_start_s2 or cfg.free_end_s2) else cfg.gap * n
+    if cfg.is_affine:
+        return cfg.gap_open + cfg.gap_extend * (m + n)
+    return cfg.gap * (m + n)
+
+
 def score_fn(
     m: int,
     n: int,
@@ -605,13 +817,7 @@ def score_fn(
     (columns), ``n = len(s2)`` (rows).  ``rows`` is the strip depth knob
     (NR sublanes, R = NR*128 DP rows per strip)."""
     if m == 0 or n == 0:
-        if cfg.is_local:
-            base = 0
-        elif cfg.is_affine:
-            base = 0 if m + n == 0 else cfg.gap_open + cfg.gap_extend * (
-                m + n)
-        else:
-            base = cfg.gap * (m + n)
+        base = _empty_score(m, n, cfg)
         return lambda s1, s2: jnp.int32(base)
     _check_cfg(cfg, m + n)
     # affine carries a second boundary row (F) in SMEM: halve the cap
@@ -619,6 +825,13 @@ def score_fn(
                      else MAX_BOUNDARY)
     swapped = mb != m  # boundary axis carries s2, strips carry s1
     use_f32 = _wants_f32(cfg, m, n)
+    ends = _ends_flags(cfg, swapped)
+    kcfg = cfg
+    if swapped and cfg.has_matrix:
+        # the kernel scores matrix[text char][strip char]; swapping puts
+        # s2 on the text axis, so an asymmetric matrix must transpose
+        # (matrix[a][b] is defined as s1-code a vs s2-code b)
+        kcfg = dataclasses.replace(cfg, matrix=tuple(zip(*cfg.matrix)))
 
     R = rows * LANES
     n_strips = -(-ns // R)
@@ -630,18 +843,37 @@ def score_fn(
             spad, s_seq.astype(jnp.int32), (0,)
         )
         s2tops = spad[:: R][:n_strips]
-        return _band_call(
+        prof0 = None
+        if kcfg.has_matrix:
+            # (strip, text char) top-row profile: matrix[ch][s2_first];
+            # chars >= K (the post-text sentinel) decay via _min0
+            vdt = jnp.float32 if use_f32 else jnp.int32
+            kk = len(kcfg.matrix)
+            mat = jnp.asarray(kcfg.matrix, vdt)
+            prof0 = jnp.full((n_strips, 8), vdt(_min0(kcfg)))
+            prof0 = prof0.at[:, :kk].set(mat[:, s2tops].T).reshape(-1)
+        res = _band_call(
             _pack4(b_seq, mb),
             s2tops,
             _colmajor(s_seq, ns, rows),
+            prof0,
             ns,
             mb,
             rows,
-            cfg,
+            kcfg,
+            ends,
             use_f32,
             unroll,
             interpret,
         )
+        # the in-kernel maxes cover j in [1, m] / i in [1, n]; the j = 0 /
+        # i = 0 boundary cells are closed-form
+        zr, zc, er, ec = ends
+        if er:  # H(n, 0)
+            res = jnp.maximum(res, jnp.int32(0 if zc else ns * cfg.gap))
+        if ec:  # H(0, m)
+            res = jnp.maximum(res, jnp.int32(0 if zr else mb * cfg.gap))
+        return res
 
     return fn
 
@@ -663,12 +895,7 @@ def score(
     s2 = jnp.asarray(s2, jnp.int32)
     m, n = int(s1.shape[0]), int(s2.shape[0])
     if m == 0 or n == 0:
-        if cfg.is_local:
-            return 0
-        if cfg.is_affine:
-            L = m + n
-            return 0 if L == 0 else cfg.gap_open + cfg.gap_extend * L
-        return cfg.gap * (m + n)
+        return _empty_score(m, n, cfg)
     if max(m, n) > MAX_STRIP_AXIS:
         raise ValueError("sequence too long for the banded kernel")
     return int(score_fn(m, n, cfg, rows=rows, interpret=interpret)(s1, s2))
