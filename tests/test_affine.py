@@ -178,6 +178,31 @@ def test_batch_api_affine_one_dispatch(mode):
     assert got.tolist() == want
 
 
+@pytest.mark.parametrize("shape", ["matrix", "sg", "infix"])
+def test_batch_api_affine_pair_modes(shape):
+    # regression (ADVICE r4, high): affine + matrix / ends-free batches
+    # must NOT take the match/mismatch-global/local vmapped shortcut —
+    # they fall through to the per-pair loop and score exactly
+    from tpualign import align_score_batch
+    from tpualign.matrices import dna
+
+    kw = dict(gap_open=-5, gap_extend=-2)
+    if shape == "matrix":
+        kw["matrix"] = dna(2, -1, -3)
+    else:
+        kw["mode"] = AlignMode.SEMIGLOBAL if shape == "sg" else AlignMode.INFIX
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    texts, queries = [], []
+    for i in range(3):
+        t, q = random_pair(40 + i, 35 + 2 * i, seed=500 + i)
+        texts.append(t)
+        queries.append(q)
+    got = align_score_batch(texts, queries, cfg)
+    want = [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
+    assert got.tolist() == want
+
+
 @pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL])
 @pytest.mark.parametrize("weights", CFGS)
 def test_band_affine_small(mode, weights):

@@ -68,3 +68,31 @@ def test_generate_roundtrip(tmp_path, capsys):
 def test_info(capsys):
     assert main(["info"]) == 0
     assert "backend" in capsys.readouterr().out
+
+
+def test_bench_infix_no_swap(tmp_path, capsys):
+    """Regression (r4 silicon queue): the bench's longer-first pair swap
+    must not fire for orientation-asymmetric configs — infix(s1, s2) and
+    infix(s2, s1) are different problems, and the swapped row tripped the
+    bench's own native gate on the 64gb corpus pair."""
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.ops import oracle
+
+    s1, s2 = random_pair(48, 90, seed=3)  # s2 longer: the swap would fire
+    d = tmp_path / "c"
+    d.mkdir()
+    write_bdna(d / "x-1.bdna", s1)
+    write_bdna(d / "x-2.bdna", s2)
+    tsv = tmp_path / "out.tsv"
+    assert main([
+        "bench", "--pairs", "x", "--corpus", str(d), "--impl", "xla",
+        "--mode", "infix", "--match", "2", "--mismatch", "-1", "--gap",
+        "-2", "--runs", "1", "--tsv", str(tsv),
+    ]) == 0
+    capsys.readouterr()
+    row = tsv.read_text().strip().splitlines()[-1].split("\t")
+    want = oracle.score(
+        s1, s2,
+        ScoringConfig(match=2, mismatch=-1, gap=-2, mode=AlignMode.INFIX),
+    )
+    assert int(row[-1]) == want

@@ -67,7 +67,11 @@ def resolve_impl(
         #                     jax.devices() query below can dial the tunnel
         import jax
 
-        if shape is not None and len(jax.devices()) > 1:
+        if (shape is not None and len(jax.devices()) > 1
+                and not (scoring.has_matrix or scoring.is_ends_free)):
+            # the sharded row-scan pipeline carries plain affine only;
+            # affine+matrix / affine+ends-free fall through to band/xla
+            # resolution below (ADVICE r4)
             m, n = shape
             if max(m, n) >= 4096 * len(jax.devices()):
                 return "strips"
@@ -287,9 +291,13 @@ def align_score_batch(
     from .ops import bitpal
 
     resolved = resolve_impl(engine, scoring)
-    if scoring.is_affine and engine.impl in ("auto", "xla"):
+    if (scoring.is_affine and engine.impl in ("auto", "xla")
+            and not (scoring.has_matrix or scoring.is_ends_free)):
         # one-dispatch Gotoh batch: the affine row scan vmapped over the
-        # padded bucket (the band/bitpal batch kernels are linear-gap)
+        # padded bucket (the band/bitpal batch kernels are linear-gap).
+        # affine+matrix / affine+ends-free configs score wrong through this
+        # shortcut (it extracts global/local with match/mismatch only), so
+        # they take the per-pair loop below (ADVICE r4, high)
         from .ops import xla as xla_ops
 
         return xla_ops.score_batch_affine(texts, queries, scoring)

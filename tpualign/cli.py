@@ -143,7 +143,16 @@ def _bench_one(name: str, s1, s2, scoring, impl: str, runs: int):
 
     from .bench.harness import time_device_fn
 
-    if len(s2) > len(s1):
+    # longer-first helps the word-layout engines, but swapping the pair is
+    # only score-preserving when the config is orientation-symmetric: infix
+    # ("fit all of s2 inside s1") and asymmetric matrices score DIFFERENT
+    # problems after a swap (the r4 silicon sweep's 64gb infix row tripped
+    # its own native gate exactly this way)
+    swap_safe = scoring.mode is not AlignMode.INFIX and (
+        scoring.matrix is None
+        or scoring.matrix == tuple(zip(*scoring.matrix))
+    )
+    if swap_safe and len(s2) > len(s1):
         s1, s2 = s2, s1
     if impl == "auto":
         from .api import resolve_impl

@@ -816,10 +816,12 @@ def score_fn(
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``
     (columns), ``n = len(s2)`` (rows).  ``rows`` is the strip depth knob
     (NR sublanes, R = NR*128 DP rows per strip)."""
+    _check_cfg(cfg, m + n)  # gate before the degenerate early return, so
+    # unsupported shapes (e.g. affine ends-free) raise like the non-empty
+    # path instead of returning a linear-gap value (ADVICE r4)
     if m == 0 or n == 0:
         base = _empty_score(m, n, cfg)
         return lambda s1, s2: jnp.int32(base)
-    _check_cfg(cfg, m + n)
     # affine carries a second boundary row (F) in SMEM: halve the cap
     mb, ns = _orient(m, n, MAX_BOUNDARY_AFFINE if cfg.is_affine
                      else MAX_BOUNDARY)
@@ -895,6 +897,7 @@ def score(
     s2 = jnp.asarray(s2, jnp.int32)
     m, n = int(s1.shape[0]), int(s2.shape[0])
     if m == 0 or n == 0:
+        _check_cfg(cfg, m + n)
         return _empty_score(m, n, cfg)
     if max(m, n) > MAX_STRIP_AXIS:
         raise ValueError("sequence too long for the banded kernel")

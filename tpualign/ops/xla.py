@@ -284,6 +284,11 @@ def score_batch_affine(texts, queries, cfg: ScoringConfig) -> "np.ndarray":
 
     if not cfg.is_affine:
         raise ValueError("score_batch_affine requires an affine config")
+    from ..config import ensure_pair_modes
+
+    # the vmapped scan scores with match/mismatch and extracts global/local
+    # only — matrix / ends-free configs must not reach it (ADVICE r4)
+    ensure_pair_modes(cfg, "score_batch_affine")
     batch = len(texts)
     if batch == 0:
         return np.zeros(0, np.int64)
