@@ -222,6 +222,75 @@ int64_t traceback_native(const int8_t* s1, int64_t m,
   return len;
 }
 
+// Matrix-aware full-table fill + traceback walk (round 5): the leaf walker
+// for matrix-scored global/local cores recovered by the device k-way splits
+// (tpualign/ops/band_align.py).  Same contract as traceback_native with a
+// substitution matrix (mat[a*K+b], int64, or nullptr for pair scoring):
+// ops path from the END (0 diag / 1 up / 2 left), returns length, score and
+// start cell via score_out.  Tie order diag > up > left, identical to
+// ops/oracle.py:traceback.  int64 table: any matrix magnitude stays exact.
+int64_t traceback_flex_native(const int8_t* s1, int64_t m,
+                              const int8_t* s2, int64_t n,
+                              const int64_t* mat, int64_t k,
+                              int64_t match, int64_t mismatch, int64_t gap,
+                              int mode, int64_t* score_out, int8_t* ops_out) {
+  const bool local = (mode == 1);
+  const int64_t W = m + 1;
+  std::vector<int64_t> H((size_t)((n + 1) * W));
+  for (int64_t j = 0; j <= m; ++j) H[(size_t)j] = local ? 0 : j * gap;
+  for (int64_t i = 1; i <= n; ++i) {
+    int64_t* cur = &H[(size_t)(i * W)];
+    const int64_t* prev = &H[(size_t)((i - 1) * W)];
+    cur[0] = local ? 0 : i * gap;
+    const int8_t c2 = s2[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int8_t c1 = s1[j - 1];
+      const int64_t sub = mat ? mat[(size_t)((int64_t)c1 * k + c2)]
+                              : (c1 == c2 ? match : mismatch);
+      int64_t v = prev[j - 1] + sub;
+      v = std::max(v, prev[j] + gap);
+      v = std::max(v, cur[j - 1] + gap);
+      if (local) v = std::max<int64_t>(v, 0);
+      cur[j] = v;
+    }
+  }
+  int64_t i = n, j = m;
+  if (local) {
+    int64_t best = 0;
+    i = 0; j = 0;
+    for (int64_t ii = 0; ii <= n; ++ii)
+      for (int64_t jj = 0; jj <= m; ++jj)
+        if (H[(size_t)(ii * W + jj)] > best) {  // strict: first occurrence
+          best = H[(size_t)(ii * W + jj)];
+          i = ii; j = jj;
+        }
+  }
+  *score_out = H[(size_t)(i * W + j)];
+  int64_t len = 0;
+  while (i > 0 || j > 0) {
+    const int64_t h = H[(size_t)(i * W + j)];
+    if (local && h == 0) break;
+    int64_t sub = 0;
+    if (i > 0 && j > 0) {
+      const int8_t c1 = s1[j - 1], c2 = s2[i - 1];
+      sub = mat ? mat[(size_t)((int64_t)c1 * k + c2)]
+                : (c1 == c2 ? match : mismatch);
+    }
+    if (i > 0 && j > 0 && h == H[(size_t)((i - 1) * W + j - 1)] + sub) {
+      ops_out[len++] = 0; --i; --j;
+    } else if (i > 0 && h == H[(size_t)((i - 1) * W + j)] + gap) {
+      ops_out[len++] = 1; --i;
+    } else if (j > 0 && h == H[(size_t)(i * W + j - 1)] + gap) {
+      ops_out[len++] = 2; --j;
+    } else {
+      return -1;  // broken table; caller falls back
+    }
+  }
+  score_out[1] = i;
+  score_out[2] = j;
+  return len;
+}
+
 // Unified flexible row-scan scorer (round 4): substitution matrix, linear
 // or affine (Gotoh) gaps, four alignment modes — the independent verifier
 // for the matrix/semiglobal capabilities of the JAX engines.

@@ -127,16 +127,47 @@ def test_ends_free_empty_inputs():
 
 def test_supports_gate():
     assert band.supports(ScoringConfig(gap=-2, matrix=MAT, mode=SG))
-    # wider alphabets collide with the strip sentinels -> xla serves them
-    wide = matrices.uniform(1, -1, size=6)
-    assert not band.supports(ScoringConfig(gap=-2, matrix=wide))
+    # any K <= 16 alphabet fits since round 5 (sentinels share code K)
+    assert band.supports(ScoringConfig(gap=-2, matrix=matrices.iupac()))
     # ends-free affine is outside the kernel's boundary-F machinery
     assert not band.supports(
         ScoringConfig(match=2, mismatch=-1, gap=-2, gap_open=-4,
                       gap_extend=-1, mode=SG))
-    with pytest.raises(ValueError):
-        band.score(np.ones(5, np.int8), np.ones(5, np.int8),
-                   ScoringConfig(gap=-2, matrix=wide), interpret=True)
+
+
+def wide_pair(m, n, k, seed, lo=1):
+    r = np.random.default_rng(seed)
+    return (
+        r.integers(lo, k, m).astype(np.int8),
+        r.integers(lo, k, n).astype(np.int8),
+    )
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL, SG, IX],
+                         ids=["nw", "sw", "sg", "infix"])
+@pytest.mark.parametrize("m,n", [(60, 35), (35, 60)])
+def test_wide_alphabet_iupac16(mode, m, n):
+    # K = 16 (full 4-bit pack range): live codes 0..15, both sentinels at
+    # code 16 injected post-unpack / in the unpacked strip planes
+    cfg = ScoringConfig(gap=-2, matrix=matrices.iupac(2, -1), mode=mode)
+    s1, s2 = wide_pair(m, n, 16, 7 * m + n)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_wide_alphabet_asymmetric_multi_strip():
+    # K = 7 asymmetric matrix, multi-strip both orientations (transpose
+    # rides the swap), ends-free extraction across strip boundaries
+    r = np.random.default_rng(11)
+    mat = matrices.from_rows(r.integers(-5, 4, (7, 7)))
+    mat = tuple(tuple(row[:i] + (3,) + row[i + 1:]) for i, row in
+                enumerate(mat))  # positive diagonal keeps SW interesting
+    for mode in (AlignMode.GLOBAL, AlignMode.LOCAL, SG, IX):
+        cfg = ScoringConfig(gap=-2, matrix=mat, mode=mode)
+        for (m, n) in ((600, 280), (280, 600)):
+            s1, s2 = wide_pair(m, n, 7, m + 13 * n, lo=0)
+            got = band.score(s1, s2, cfg, rows=2, interpret=True)
+            assert got == oracle.score(s1, s2, cfg), (mode, m, n)
 
 
 def test_matrix_affine():

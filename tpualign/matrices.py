@@ -66,17 +66,40 @@ def uniform(match: int = 1, mismatch: int = 0, size: int = 5) -> Tuple[tuple, ..
     )
 
 
+def iupac(match: int = 1, mismatch: int = -1) -> Tuple[tuple, ...]:
+    """16-code IUPAC-style ambiguity matrix over 4-bit base-set codes.
+
+    Code ``b`` (0..15) is read as the SET of bases it may stand for
+    (bit 0 = A, 1 = C, 2 = G, 3 = T; e.g. 0b0101 = R = A/G, 0b1111 = N).
+    Two codes score ``match`` when their sets intersect — the standard
+    ambiguity-aware convention — else ``mismatch``; code 0 (the empty
+    set) never matches anything.  Note this encoding is a superset
+    alphabet, not the 5-code ``.bdna`` one: re-encode sequences to the
+    bitmask codes before scoring with it.
+    """
+    return from_rows(
+        [[match if (a & b) else mismatch for b in range(16)]
+         for a in range(16)]
+    )
+
+
 def parse(spec: str) -> Tuple[tuple, ...]:
     """CLI matrix parser.
 
-    Accepts either ``dna:match,transition,transversion`` (builds
-    :func:`dna`) or an explicit row list ``r00,r01,../r10,r11,..`` with
-    ``/`` separating rows.
+    Accepts ``dna:match,transition,transversion`` (builds :func:`dna`),
+    ``iupac:match,mismatch`` (builds the 16-code :func:`iupac`), or an
+    explicit row list ``r00,r01,../r10,r11,..`` with ``/`` separating
+    rows.
     """
     if spec.startswith("dna:"):
         vals = [int(v) for v in spec[4:].split(",")]
         if len(vals) != 3:
             raise ValueError("dna: spec needs match,transition,transversion")
         return dna(*vals)
+    if spec.startswith("iupac:"):
+        vals = [int(v) for v in spec[6:].split(",")]
+        if len(vals) != 2:
+            raise ValueError("iupac: spec needs match,mismatch")
+        return iupac(*vals)
     rows = [[int(v) for v in row.split(",")] for row in spec.split("/")]
     return from_rows(rows)

@@ -131,6 +131,22 @@ F32_EXACT = 1 << 24
 PAD_CHAR = 5
 
 
+def _sentinels(cfg: ScoringConfig):
+    """(pad_char, post_text_char) for a config.
+
+    Pair scoring compares text chars against strip chars directly, so the
+    two sentinels must differ from every live code AND from each other
+    (5 / 6 for the 0..4 ``.bdna`` alphabet).  Matrix mode selects through
+    profile planes whose default is the decaying :func:`_min0`, reached by
+    ANY code >= K on either axis — so both sentinels can share code K and
+    alphabets up to the full 4-bit pack range (K <= 16, codes 0..15) fit.
+    """
+    if cfg.has_matrix:
+        K = len(cfg.matrix)
+        return K, K
+    return PAD_CHAR, 6
+
+
 def _phase_grid(nr: int):
     """Per-slot stagger phase: slot (r, c) runs at diagonal ``t - phase``."""
     r = jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 0)
@@ -208,6 +224,7 @@ def _band_kernel_body(
         mismatch = vdt(cfg.mismatch)
     else:
         min0 = vdt(_min0(cfg))
+    _, post_text = _sentinels(cfg)
     g = vdt(cfg.gap)
     affine = cfg.is_affine
     if affine:
@@ -236,12 +253,13 @@ def _band_kernel_body(
     # step t* = m + phase(k*); snapshotted there before j>m garbage rolls in
     k_star = (n - 1) % R
     t_star = m + (k_star % nr) + (k_star // nr) * (nr + 2)
-    # the snapshot keeps only the 8-sublane tile containing slot k*
+    # the snapshot keeps only the (up to) 8-sublane tile containing slot k*
+    snr = min(8, nr)
     snap_r0 = (k_star % nr) & ~7
     snap_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (snr, LANES), 0)
         == (k_star % nr) - snap_r0
-    ) & (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1) == k_star // nr)
+    ) & (jax.lax.broadcasted_iota(jnp.int32, (snr, LANES), 1) == k_star // nr)
     if er:
         # last-DP-row extraction: slot k* is the only plane slot carrying
         # row n (k_star == 0 rides the scalar top-row chain instead)
@@ -333,9 +351,10 @@ def _band_kernel_body(
             # --- char window (slides exactly like the value buffers) ---
             idx = jnp.clip(t - 1, 0, m - 1)
             ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
-            # post-text sentinel 6: matches neither live codes 0..4 nor the
-            # pad rows' 5, so dead-region cells can only decay
-            ch = jnp.where(t - 1 < m, ch, 6)
+            # post-text sentinel (6 pair / K matrix, injected AFTER the
+            # 4-bit unpack so it needn't fit the pack): matches no live
+            # code and no pad row, so dead-region cells can only decay
+            ch = jnp.where(t - 1 < m, ch, post_text)
             w_row0 = jnp.where(
                 lane_is0, ch, pendw_ref[(u - 3) % 8 : (u - 3) % 8 + 1, :]
             )
@@ -358,8 +377,10 @@ def _band_kernel_body(
             # ``bjm1``/``bj`` are read per block (no serial carry on B). ---
             if has_matrix:
                 # one dynamic SMEM load, off the vector path: the
-                # (strip, text char) profile is precomputed host-side
-                sub0 = prof0_ref[s * 8 + ch]
+                # (strip, text char) profile is precomputed host-side,
+                # K+1 wide so the post-text sentinel (code K) hits the
+                # decaying _min0 slot
+                sub0 = prof0_ref[s * (K + 1) + ch]
             else:
                 sub0 = jnp.where(s2_first == ch, match, mismatch)
             if affine:
@@ -446,7 +467,7 @@ def _band_kernel_body(
                     aux = jnp.where(t == t_snap, c0s, aux)
                 else:
                     # branchless single-vreg snapshot of the H(n, m) tile
-                    src = new[snap_r0 : snap_r0 + 8, :]
+                    src = new[snap_r0 : snap_r0 + snr, :]
                     if fix_snap0:  # tile row 0 carries the scalar top cell
                         src = jnp.concatenate([c0, src[1:, :]], axis=0)
                     snap_ref[:] = jnp.where(t == t_snap, src, snap_ref[:])
@@ -645,7 +666,7 @@ def _band_call(
     scratch = [pltpu.VMEM((nr, LANES), vdt) for _ in range(4)]
     scratch.append(pltpu.VMEM((nr, LANES), jnp.int32))  # char window
     scratch.append(pltpu.VMEM((nr, LANES), vdt))  # SW running max
-    scratch.append(pltpu.VMEM((8, LANES), vdt))  # snapshot tile
+    scratch.append(pltpu.VMEM((min(8, nr), LANES), vdt))  # snapshot tile
     scratch.append(pltpu.VMEM((8, LANES), vdt))  # pendv ring
     scratch.append(pltpu.VMEM((8, LANES), jnp.int32))  # pendw ring
     scratch.append(pltpu.SMEM((m + 3,), vdt))  # boundary + dump slot
@@ -683,17 +704,20 @@ def _pack4(s1: jax.Array, m: int) -> jax.Array:
     )
 
 
-def _colmajor(s2: jax.Array, n: int, nr: int) -> jax.Array:
+def _colmajor(
+    s2: jax.Array, n: int, nr: int, pad_char: int = PAD_CHAR
+) -> jax.Array:
     """Strip chars, column-major: out[s*nr + r, c] = s2[s*R + c*nr + r].
 
-    Pad rows carry :data:`PAD_CHAR`, which matches neither live codes 1..4
-    nor the post-text sentinel 0 — pad cells only decay, which is what lets
-    the SW running max run unmasked.  Pad rows sit below every live row, so
+    Pad rows carry ``pad_char`` (:data:`PAD_CHAR` for pair scoring, K for
+    matrix mode — see :func:`_sentinels`), which matches no live code and
+    no post-text char — pad cells only decay, which is what lets the SW
+    running max run unmasked.  Pad rows sit below every live row, so
     their garbage never flows upward (deps go down/right only).
     """
     R = nr * LANES
     n_strips = -(-n // R)
-    pad = jnp.full((n_strips * R,), PAD_CHAR, jnp.int32)
+    pad = jnp.full((n_strips * R,), pad_char, jnp.int32)
     pad = jax.lax.dynamic_update_slice(pad, s2.astype(jnp.int32), (0,))
     return (
         pad.reshape(n_strips, LANES, nr)
@@ -742,10 +766,9 @@ def _ends_flags(cfg: ScoringConfig, swapped: bool):
 def supports(cfg: ScoringConfig) -> bool:
     """True when this kernel serves ``cfg``'s scoring shape (dispatch
     consults this; unsupported shapes run on the xla engine)."""
-    if cfg.has_matrix and len(cfg.matrix) != 5:
-        # the strip layout's sentinel codes (PAD_CHAR 5, post-text 6)
-        # collide with live codes of wider alphabets
-        return False
+    # any matrix alphabet the config admits (K <= 16) fits: live codes
+    # 0..15 ride the 4-bit text pack, and both sentinels share code K
+    # (injected post-unpack / unpacked strip planes — see _sentinels)
     if cfg.is_ends_free and cfg.is_affine:
         return False  # the Gotoh boundary-F machinery lacks ends-free forms
     return True
@@ -848,16 +871,17 @@ def score_fn(
         prof0 = None
         if kcfg.has_matrix:
             # (strip, text char) top-row profile: matrix[ch][s2_first];
-            # chars >= K (the post-text sentinel) decay via _min0
+            # K+1 wide per strip — slot K (the post-text sentinel) decays
+            # via _min0
             vdt = jnp.float32 if use_f32 else jnp.int32
             kk = len(kcfg.matrix)
             mat = jnp.asarray(kcfg.matrix, vdt)
-            prof0 = jnp.full((n_strips, 8), vdt(_min0(kcfg)))
+            prof0 = jnp.full((n_strips, kk + 1), vdt(_min0(kcfg)))
             prof0 = prof0.at[:, :kk].set(mat[:, s2tops].T).reshape(-1)
         res = _band_call(
             _pack4(b_seq, mb),
             s2tops,
-            _colmajor(s_seq, ns, rows),
+            _colmajor(s_seq, ns, rows, _sentinels(kcfg)[0]),
             prof0,
             ns,
             mb,

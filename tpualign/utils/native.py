@@ -91,6 +91,13 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i8p,
     ]
     lib.traceback_native.restype = ctypes.c_int64
+    lib.traceback_flex_native.argtypes = [
+        i8p, ctypes.c_int64, i8p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        i64p, i8p,
+    ]
+    lib.traceback_flex_native.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -249,10 +256,10 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
         raise RuntimeError(
             "native traceback is linear-gap only; the oracle's three-state "
             "walk serves affine configs")
-    if cfg.has_matrix or cfg.is_ends_free:
+    if cfg.is_ends_free:
         raise RuntimeError(
-            "native traceback covers pair-scored global/local configs; "
-            "the oracle walk serves matrix/ends-free configs")
+            "native traceback covers global/local walks; the oracle walk "
+            "serves the ends-free modes (their cores walk here as global)")
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -260,13 +267,27 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
     s2 = np.ascontiguousarray(s2, dtype=np.int8)
     ops = np.empty(max(1, s1.size + s2.size), dtype=np.int8)
     score = np.zeros(3, dtype=np.int64)  # [score, start_i, start_j]
-    ln = int(
-        lib.traceback_native(
-            s1, s1.size, s2, s2.size,
-            cfg.match, cfg.mismatch, cfg.gap, 1 if cfg.is_local else 0,
-            score, ops,
+    if cfg.has_matrix:
+        mat, ptr, k = _mat_ptr(cfg)
+        hi = max(int(s1.max(initial=0)), int(s2.max(initial=0)))
+        if hi >= k or min(int(s1.min(initial=0)),
+                          int(s2.min(initial=0))) < 0:
+            raise RuntimeError("sequence codes outside the matrix alphabet")
+        ln = int(
+            lib.traceback_flex_native(
+                s1, s1.size, s2, s2.size, ptr, k,
+                cfg.match, cfg.mismatch, cfg.gap,
+                1 if cfg.is_local else 0, score, ops,
+            )
         )
-    )
+    else:
+        ln = int(
+            lib.traceback_native(
+                s1, s1.size, s2, s2.size,
+                cfg.match, cfg.mismatch, cfg.gap, 1 if cfg.is_local else 0,
+                score, ops,
+            )
+        )
     if ln < 0:
         raise RuntimeError("native traceback failed")
     ops = ops[:ln][::-1]  # 0 = diag, 1 = up (gap in s1), 2 = left (gap in s2)
