@@ -220,8 +220,9 @@ def align(
     if scoring.has_matrix or scoring.is_ends_free:
         from .ops import ends_free
 
-        # round-4 shapes at scale: locate the optimal end/start cells with
-        # device scans, then align the global core with the classic engines
+        # round-4 shapes at scale: locate the optimal end/start cells (one
+        # band fill each on TPU; native CPU scans off-device), then align
+        # the global core — band k-way recovery for matrix cores (round 5)
         return ends_free.align_large(s1, s2, scoring, engine)
     if scoring.is_affine:
         from .ops import affine_align

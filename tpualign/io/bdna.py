@@ -19,8 +19,11 @@ from typing import Tuple
 
 import numpy as np
 
-#: Base alphabet, indexed by byte code (``helper.cpp:28``).
-BASES = "-ATGC"
+#: Symbol alphabet, indexed by code.  Codes 0..4 are the ``.bdna`` bytes
+#: (``helper.cpp:28``); codes 5..15 extend the table with IUPAC-flavored
+#: letters so wide-alphabet (K <= 16 substitution-matrix) alignments render
+#: — ``.bdna`` files themselves still only admit codes 0..4.
+BASES = "-ATGCRYSWKMBDHVN"
 _CODE_OF = {c: i for i, c in enumerate(BASES)}
 
 

@@ -50,15 +50,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ensure_pair_modes, ScoringConfig
+from ..config import ScoringConfig
 from .pallas_diag import LANES, _round_up
 from .band import (
     NEG_INF,
     PAD_CHAR,
     _colmajor,
     _lane_shift,
+    _min0,
     _pack4,
     _phase_grid,
+    _sentinels,
     _shift1,
     _wants_f32,
     MAX_BOUNDARY,
@@ -74,6 +76,30 @@ MAX_LEAF_CELLS = 1 << 28
 SW_WINDOW_LIMIT = 2048
 
 
+def _check_align_cfg(cfg: ScoringConfig) -> None:
+    """Gate for the band alignment paths: global/local, linear gap, pair
+    or matrix scoring (ends-free modes go through ``ops.ends_free``, which
+    reduces them to global cores recovered here)."""
+    if cfg.is_ends_free:
+        raise ValueError(
+            "band_align serves global/local configs; ends-free modes "
+            "reduce through ops.ends_free")
+    if cfg.is_affine:
+        raise ValueError(
+            "affine gaps are outside the band alignment's envelope; "
+            "small problems align via the oracle (see api.align)")
+
+
+def _transposed(cfg: ScoringConfig) -> ScoringConfig:
+    """Config for the swapped (s2, s1) orientation: matrices transpose
+    (``matrix[a][b]`` scores s1-code a vs s2-code b)."""
+    if not cfg.has_matrix:
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(cfg, matrix=tuple(zip(*cfg.matrix)))
+
+
 def _strip_kernel_body(
     m: int,
     nr: int,
@@ -83,40 +109,66 @@ def _strip_kernel_body(
     vdt,
     interpret: bool,
     chunked: bool,
+    zc: bool,
+    capture: bool,
     *refs,
 ):
     """One strip of the band schedule, boundary row in/out.
 
     Refs, in order: ``s1_ref`` SMEM (words,) packed text; ``sc_ref`` SMEM
-    (4,) [i0, klo, s2_first, k_hi] (strip row offset, first live slot for
-    bottom-aligned partial strips, the top live row's char, one-past-last
-    live slot); ``b_in_ref`` VMEM (m+3,) boundary row H(i0, :) — DMA'd
+    (5,) [i0, klo, s2_first, k_hi, m_sel] (strip row offset, first live
+    slot for bottom-aligned partial strips, the top live row's char,
+    one-past-last live slot, capture column);
+    ``b_in_ref`` VMEM (m+3,) boundary row H(i0, :) — DMA'd
     into ``b_ref`` (a second SMEM window would bust the 1 MB budget at
     corpus m); ``s2cm_ref`` VMEM (nr, LANES) strip chars, column-major;
+    [matrix: ``prof0_ref`` SMEM (K+1,) top-live-row profile
+    ``matrix[ch][s2_first]`` with the decaying sentinel in slot K];
     [chunked: ``head_ref`` VMEM (nr, LANES) left-column values H(i, j0)
     in slot layout].  Outputs: ``b_ref`` SMEM (m+3,) boundary row out
     (also the working buffer); ``vmax_ref``; ``v_ref`` per-slot running
-    max; [chunked: ``cap_ref`` VMEM (nr, LANES) right-column capture
-    H(i, j0+m)].  Then the plane/ring scratch and the DMA semaphore.
+    max; [chunked or capture: ``cap_ref`` VMEM (nr, LANES) right-column
+    capture H(i, j0+m)].  Then the plane/ring scratch, [matrix: K
+    substitution profile planes], and the DMA semaphore.
 
     ``chunked`` is the column-block mode of the unbounded-boundary driver
     (``band_chunked.py``): the wavefront head injects a COLUMN of carried
     values instead of the analytic H(i, 0), and each slot's value at its
-    last in-block column is captured for the next block.
+    last in-block column is captured for the next block.  ``zc`` zeroes
+    the injected head column (ends-free free-start boundary, like local);
+    ``capture`` turns on the right-column capture without the chunked
+    head (the ends-free last-column extraction, round 5).
     """
+    has_matrix = cfg.has_matrix
+    K = len(cfg.matrix) if has_matrix else 0
+    i_in = 4
+    refs_l = list(refs)
+    s1_ref, sc_ref, b_in_ref, s2cm_ref = refs_l[:4]
+    prof0_ref = None
+    if has_matrix:
+        prof0_ref = refs_l[i_in]
+        i_in += 1
+    head_ref = None
     if chunked:
-        (s1_ref, sc_ref, b_in_ref, s2cm_ref, head_ref,
-         b_ref, vmax_ref, v_ref, cap_ref,
-         a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, pendv_ref, pendw_ref,
-         dma_sem) = refs
+        head_ref = refs_l[i_in]
+        i_in += 1
+    b_ref, vmax_ref, v_ref = refs_l[i_in:i_in + 3]
+    i_in += 3
+    cap_ref = None
+    if chunked or capture:
+        cap_ref = refs_l[i_in]
+        i_in += 1
+    (a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, pendv_ref,
+     pendw_ref) = refs_l[i_in:i_in + 7]
+    i_in += 7
+    prof_refs = refs_l[i_in:i_in + K] if has_matrix else []
+    dma_sem = refs_l[i_in + K]
+    if not has_matrix:
+        match = vdt(cfg.match)
+        mismatch = vdt(cfg.mismatch)
     else:
-        (s1_ref, sc_ref, b_in_ref, s2cm_ref,
-         b_ref, vmax_ref, v_ref,
-         a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, pendv_ref, pendw_ref,
-         dma_sem) = refs
-        head_ref = cap_ref = None
-    match = vdt(cfg.match)
-    mismatch = vdt(cfg.mismatch)
+        min0 = vdt(_min0(cfg))
+    _, post_text = _sentinels(cfg)
     g = vdt(cfg.gap)
     local = cfg.is_local
     phase, k_flat = _phase_grid(nr)
@@ -128,14 +180,16 @@ def _strip_kernel_body(
     klo = sc_ref[1]  # first live slot; rows i0+1+(k-klo) live in k >= klo
     s2_first = sc_ref[2]
     k_hi = sc_ref[3]  # one past the last live slot (rows beyond the query)
-    i0g = vdt(0) if local else i0.astype(vdt) * g
+    m_sel = sc_ref[4]  # capture column (m / block width / per-pair text len)
+    i0g = vdt(0) if (local or zc) else i0.astype(vdt) * g
 
     # head values: H(i0 + 1 + (k - klo), j0); dead slots (k < klo) stay NEG.
     # The chunked driver carries the true left column in slot layout; the
-    # single-table fills use the analytic H(i, 0) boundary
+    # single-table fills use the analytic H(i, 0) boundary (0 under the
+    # local / free-start-column forms)
     if chunked:
         head_vals = head_ref[:]
-    elif local:
+    elif local or zc:
         head_vals = jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
     else:
         head_vals = jnp.where(
@@ -167,28 +221,50 @@ def _strip_kernel_body(
     pendw_ref[:] = jnp.zeros((8, LANES), jnp.int32)
     if local:
         v_ref[:] = jnp.zeros((nr, LANES), vdt)
-    if chunked:
+    if chunked or capture:
         cap_ref[:] = neg
 
     s2cm = s2cm_ref[:]
+    if has_matrix:
+        # per-strip substitution profile planes prof[w] = matrix[w][s2cm]
+        # (strip chars are constant per call, so the K*K select tree
+        # amortizes over the sweep); pad rows (code K) keep the decaying
+        # sentinel default
+        for w in range(K):
+            p = jnp.full((nr, LANES), min0, vdt)
+            for b in range(K):
+                p = jnp.where(s2cm == b, vdt(cfg.matrix[w][b]), p)
+            prof_refs[w][:] = p
 
     def substep(t, u, bjm1, bj, a_ref, as_ref, oa_ref, oas_ref, ramp,
                 cap=False):
         idx = jnp.clip(t - 1, 0, m - 1)
         ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
-        ch = jnp.where(t - 1 < m, ch, 6)  # post-text sentinel
+        # post-text sentinel beyond the DYNAMIC text end m_sel (<= the
+        # static width m): bucketed fills and ragged batch pairs pad the
+        # text axis, and the pad region must decay, not fabricate matches
+        ch = jnp.where(t - 1 < m_sel, ch, post_text)
         w_row0 = jnp.where(
             lane_is0, ch, pendw_ref[(u - 3) % 8 : (u - 3) % 8 + 1, :]
         )
         w_new = _shift1(w_row0, w_ref[:], nr)
         w_ref[:] = w_new
-        sub = jnp.where(s2cm == w_new, match, mismatch)
+        if has_matrix:
+            sub = jnp.full((nr, LANES), min0, vdt)
+            for w in range(K - 1, -1, -1):
+                sub = jnp.where(w_new == w, prof_refs[w][:], sub)
+        else:
+            sub = jnp.where(s2cm == w_new, match, mismatch)
         # top live row's boundary candidate, merged plane-wide (the slot is
         # dynamic here — bottom-aligned strips — so no scalar-row shortcut)
         j_top = t - p_klo  # the top live row's column this step
         idx0 = jnp.clip(j_top - 1, 0, m - 1)
         ch0 = (s1_ref[idx0 >> 3] >> ((idx0 & 7) << 2)) & 15
-        sub0 = jnp.where(s2_first == ch0, match, mismatch)
+        ch0 = jnp.where(j_top - 1 < m_sel, ch0, post_text)
+        if has_matrix:
+            sub0 = prof0_ref[ch0]
+        else:
+            sub0 = jnp.where(s2_first == ch0, match, mismatch)
         cand = jnp.maximum(bjm1 + sub0, bj + g)
         # live window only: outside it the boundary reads are clipped or
         # stale and would fabricate values above the top row's true max,
@@ -205,18 +281,22 @@ def _strip_kernel_body(
         if local:
             # fully masked fold: the locate pass reads PER-SLOT maxes, so
             # even decayed-but-positive pad/dead/pre-start values (which the
-            # score kernel's global max tolerates) must stay out
+            # score kernel's global max tolerates) must stay out — incl.
+            # the bucketed pad columns beyond the true text end m_sel
             live = (
                 (phase <= t)
-                & (t - phase <= m)
+                & (t - phase <= m_sel)
                 & (k_flat >= klo)
                 & (k_flat < k_hi)
             )
             v_ref[:] = jnp.maximum(
                 v_ref[:], jnp.where(live, new, vdt(NEG_INF))
             )
-        if cap:  # right-column capture: each slot's value at column m
-            cap_ref[:] = jnp.where(t - phase == m, new, cap_ref[:])
+        if cap:  # right-column capture: each slot's value at column m_sel
+            # (the block width for the chunked driver, the full text width
+            # for the ends-free locate fills, the per-pair text length for
+            # the batched serving path)
+            cap_ref[:] = jnp.where(t - phase == m_sel, new, cap_ref[:])
         oa_ref[:] = new
         v_row0 = jnp.where(
             lane_is0,
@@ -257,12 +337,15 @@ def _strip_kernel_body(
         return c
 
     t_head = min(t_steps, _round_up(p_max + 2, unroll))
-    if not chunked:
+    if not (chunked or capture):
         segs = [(0, t_head, True, False), (t_head, t_steps, False, False)]
     else:
-        # captures fire at t = m + phase: skip the capture select until the
-        # earliest possible hit, whatever its overlap with the ramp
-        t_cap = min(t_steps, (m // unroll) * unroll)
+        # captures fire at t = m_sel + phase: skip the capture select until
+        # the earliest possible hit.  The chunked driver captures at the
+        # static block width (m_sel == m); the capture-mode fills may carry
+        # a smaller dynamic m_sel (per-pair text lengths), so they keep the
+        # select live from the start
+        t_cap = min(t_steps, (m // unroll) * unroll) if chunked else 0
         cuts = sorted({0, min(t_head, t_cap), t_head, max(t_head, t_cap),
                        t_steps})
         segs = [
@@ -282,7 +365,7 @@ def _strip_kernel_body(
         b_ref[0] = head_ref[nr - 1, LANES - 1]  # slot R-1
     else:
         nxt = i0 + (nr * LANES - klo)
-        b_ref[0] = vdt(0) if local else nxt.astype(vdt) * g
+        b_ref[0] = vdt(0) if (local or zc) else nxt.astype(vdt) * g
     if local:
         vmax_ref[0, 0] = jnp.max(v_ref[:])
     else:
@@ -290,11 +373,12 @@ def _strip_kernel_body(
         v_ref[:] = neg
 
 
-def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked):
+def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked,
+                zc=False, capture=False):
     """Build the single-strip pallas_call (see ``_strip_kernel_body``)."""
     kernel = functools.partial(
         _strip_kernel_body, m, nr, t_steps, unroll, cfg, vdt, interpret,
-        chunked,
+        chunked, zc, capture,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -305,10 +389,14 @@ def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked):
     ]
     ins = [smem, smem, vmem, vmem]
     out_specs = [smem, smem, vmem]
+    if cfg.has_matrix:
+        ins.append(smem)  # prof0: top-live-row profile (K+1,)
     if chunked:
         ins.append(vmem)  # head column plane
+    if chunked or capture:
         outs.append(jax.ShapeDtypeStruct((nr, LANES), vdt))  # capture
         out_specs.append(vmem)
+    K = len(cfg.matrix) if cfg.has_matrix else 0
     return pl.pallas_call(
         kernel,
         out_shape=tuple(outs),
@@ -322,8 +410,9 @@ def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked):
                 pltpu.VMEM((nr, LANES), jnp.int32),
                 pltpu.VMEM((8, LANES), vdt),
                 pltpu.VMEM((8, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA,
             ]
+            + [pltpu.VMEM((nr, LANES), vdt) for _ in range(K)]
+            + [pltpu.SemaphoreType.DMA]
         ),
         interpret=interpret,
     )
@@ -331,7 +420,8 @@ def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "nr", "cfg", "use_f32", "interpret", "chain_b"),
+    static_argnames=("m", "nr", "cfg", "use_f32", "interpret", "chain_b",
+                     "zc", "capture"),
 )
 def _strip_scan(
     s1p: jax.Array,  # (words,) packed text, or (K, words) when chain_b is
@@ -339,15 +429,19 @@ def _strip_scan(
     s2cm_all: jax.Array,  # (K * nr, LANES) strip chars
     scs: jax.Array,  # (K, 4) [i0, klo, s2_first, k_hi] per strip
     b0: jax.Array,  # (m + 3,) initial boundary row, or (K, m + 3)
+    prof0s,  # (K, K_alpha + 1) per-strip top-row profiles, or None
     m: int,
     nr: int,
     cfg: ScoringConfig,
     use_f32: bool,
     interpret: bool,
     chain_b: bool = True,
+    zc: bool = False,
+    capture: bool = False,
 ):
     """Scan the single-strip kernel over K strips; returns the stacked
-    boundary rows (K, m+3), per-strip vmax (K,), per-slot max planes.
+    boundary rows (K, m+3), per-strip vmax (K,), per-slot max planes, and
+    (when ``capture``) the per-strip right-column capture planes.
 
     ``chain_b=True`` carries the boundary row strip-to-strip (one DP table,
     the alignment fills); ``chain_b=False`` feeds each step its own text and
@@ -357,29 +451,50 @@ def _strip_scan(
     unroll = 16
     t_steps = _round_up(m + p_max + 132, unroll)
     call = _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret,
-                       chunked=False)
+                       chunked=False, zc=zc, capture=capture)
     K = scs.shape[0]
     s2cm_strips = s2cm_all.reshape(K, nr, LANES)
 
+    def unpack(outs):
+        if capture:
+            b_out, vmax, vplane, cap = outs
+        else:
+            (b_out, vmax, vplane), cap = outs, None
+        return b_out, (b_out, vmax[0, 0], vplane) + (
+            (cap,) if capture else ())
+
     if chain_b:
         def step(b, xs):
-            sc, s2cm_s = xs
-            b_out, vmax, vplane = call(s1p, sc, b.astype(vdt), s2cm_s)
-            return b_out, (b_out, vmax[0, 0], vplane)
+            if cfg.has_matrix:
+                sc, s2cm_s, p0 = xs
+                extra = (p0,)
+            else:
+                sc, s2cm_s = xs
+                extra = ()
+            return unpack(call(s1p, sc, b.astype(vdt), s2cm_s, *extra))
 
-        _, (bs, vmaxs, vplanes) = jax.lax.scan(
-            step, b0.astype(vdt), (scs, s2cm_strips)
-        )
+        xs = (scs, s2cm_strips) + (
+            (prof0s,) if cfg.has_matrix else ())
+        _, outs = jax.lax.scan(step, b0.astype(vdt), xs)
     else:
         def step(_, xs):
-            s1p_s, sc, b_s, s2cm_s = xs
-            b_out, vmax, vplane = call(s1p_s, sc, b_s.astype(vdt), s2cm_s)
-            return 0, (b_out, vmax[0, 0], vplane)
+            if cfg.has_matrix:
+                s1p_s, sc, b_s, s2cm_s, p0 = xs
+                extra = (p0,)
+            else:
+                s1p_s, sc, b_s, s2cm_s = xs
+                extra = ()
+            _, out = unpack(call(s1p_s, sc, b_s.astype(vdt), s2cm_s,
+                                 *extra))
+            return 0, out
 
-        _, (bs, vmaxs, vplanes) = jax.lax.scan(
-            step, 0, (s1p, scs, b0, s2cm_strips)
-        )
-    return bs, vmaxs, vplanes
+        xs = (s1p, scs, b0, s2cm_strips) + (
+            (prof0s,) if cfg.has_matrix else ())
+        _, outs = jax.lax.scan(step, 0, xs)
+    if capture:
+        return outs
+    bs, vmaxs, vplanes = outs
+    return bs, vmaxs, vplanes, None
 
 
 def _plan_strips(n: int, R: int, bottom_align: bool):
@@ -402,21 +517,56 @@ def _plan_strips(n: int, R: int, bottom_align: bool):
     return out
 
 
-def _fill(s1, s2, cfg, rows, *, bottom_align=False, interpret=False):
-    """One band fill; returns (boundary rows (K, m+3) np, vmaxs, vplanes,
-    strip plan).  Strips cover s2; boundary axis is s1."""
+def _prof0s(cfg, scs, use_f32):
+    """(K_strips, K_alpha + 1) per-strip top-row profiles
+    ``matrix[ch][s2_first]`` with the decaying sentinel in slot K."""
+    if not cfg.has_matrix:
+        return None
+    mat = np.asarray(cfg.matrix, np.int64)
+    kk = mat.shape[0]
+    dt = np.float32 if use_f32 else np.int32
+    out = np.full((scs.shape[0], kk + 1), _min0(cfg), dt)
+    firsts = np.minimum(scs[:, 2], kk - 1)  # dead strips carry pad codes
+    out[:, :kk] = mat[:, firsts].T
+    return jnp.asarray(out)
+
+
+def _bucket(m: int) -> int:
+    """Round the text axis up to 1/8-octave granularity (<= 12.5% padding):
+    the fills' compile keys stay bounded across the data-dependent prefix
+    shapes the locate passes produce (the hirschberg _soft_bucket scheme).
+    The kernel chars beyond the TRUE length (scs[:, 4]) read as the
+    post-text sentinel, so the pad region only decays."""
+    m = max(16, m)
+    p = 1 << max(1, m.bit_length() - 4)
+    return -(-m // p) * p
+
+
+def _fill(s1, s2, cfg, rows, *, bottom_align=False, interpret=False,
+          zero_row=False, zero_col=False, capture=False):
+    """One band fill; returns (boundary rows (K, m_pad+3) np, vmaxs,
+    vplanes, strip plan[, capture planes]).  Strips cover s2; boundary
+    axis is s1, padded to a shape bucket (callers slice rows to the true
+    ``m + 1``).
+
+    ``zero_row`` zeroes the initial boundary row H(0, :) and ``zero_col``
+    the injected head column H(:, 0) — the ends-free boundary variants;
+    ``capture`` returns per-strip right-column planes H(i, m) in slot
+    layout (the ends-free last-column extraction)."""
     m, n = int(s1.shape[0]), int(s2.shape[0])
+    m_pad = _bucket(m)
     R = rows * LANES
     plan = _plan_strips(n, R, bottom_align)
     K = len(plan)
-    use_f32 = _wants_f32(cfg, m, n)
+    use_f32 = _wants_f32(cfg, m_pad, n)
     vdt = jnp.float32 if use_f32 else jnp.int32
+    pad_char, _ = _sentinels(cfg)
 
     s1j = jnp.asarray(s1, jnp.int32)
     s2j = jnp.asarray(s2, jnp.int32)
-    s1p = _pack4(s1j, m)
+    s1p = _pack4(s1j, m_pad)
     # chars per strip, honoring bottom alignment of the first strip
-    cm = jnp.full((K * R,), PAD_CHAR, jnp.int32)
+    cm = jnp.full((K * R,), pad_char, jnp.int32)
     if bottom_align:
         r0 = n % R or R
         cm = jax.lax.dynamic_update_slice(
@@ -431,26 +581,30 @@ def _fill(s1, s2, cfg, rows, *, bottom_align=False, interpret=False):
     s2cm_all = (
         cm.reshape(K, LANES, rows).transpose(0, 2, 1).reshape(K * rows, LANES)
     )
-    scs = np.zeros((K, 4), np.int32)
+    scs = np.zeros((K, 5), np.int32)
     for s, (i0, klo) in enumerate(plan):
         scs[s, 0] = i0
         scs[s, 1] = klo
-        scs[s, 2] = int(np.asarray(s2)[i0]) if i0 < n else PAD_CHAR
+        scs[s, 2] = int(np.asarray(s2)[i0]) if i0 < n else pad_char
         scs[s, 3] = klo + min(n - i0, R - klo)
-    if cfg.is_local:
-        b0 = jnp.zeros((m + 3,), vdt)
+        scs[s, 4] = m  # capture column / true text end (pad cols decay)
+    if cfg.is_local or zero_row:
+        b0 = jnp.zeros((m_pad + 3,), vdt)
     else:
-        b0 = (jnp.arange(m + 3, dtype=jnp.int32) * cfg.gap).astype(vdt)
-    bs, vmaxs, vplanes = _strip_scan(
-        s1p, s2cm_all, jnp.asarray(scs), b0, m, rows, cfg, use_f32,
-        interpret,
+        b0 = (jnp.arange(m_pad + 3, dtype=jnp.int32) * cfg.gap).astype(vdt)
+    bs, vmaxs, vplanes, caps = _strip_scan(
+        s1p, s2cm_all, jnp.asarray(scs), b0, _prof0s(cfg, scs, use_f32),
+        m_pad, rows, cfg, use_f32, interpret, zc=zero_col, capture=capture,
     )
-    return (
+    out = (
         np.asarray(bs),
         np.asarray(vmaxs),
         np.asarray(vplanes),
         plan,
     )
+    if capture:
+        return out + (np.asarray(caps),)
+    return out
 
 
 def _leaf_walks(jobs, s1, s2, cfg):
@@ -498,13 +652,12 @@ def align_global(
     Two band fills (forward + reverse, one device dispatch each) produce H
     rows at every strip boundary; crossings of the leftmost optimal path
     drop out of ``argmax(F + R)`` per row, and the row bands between them
-    are walked by the native C++ traceback in parallel.
+    are walked by the native C++ traceback in parallel.  Substitution
+    matrices (any K <= 16) ride the same machinery since round 5: profile
+    planes in the strip kernel, the matrix-aware native walk at the
+    leaves.
     """
-    ensure_pair_modes(cfg, "band_align")
-    if cfg.is_affine:
-        raise ValueError(
-            "affine gaps are outside the band alignment's envelope; "
-            "small problems align via the oracle (see api.align)")
+    _check_align_cfg(cfg)
     s1 = np.asarray(s1, np.int32)
     s2 = np.asarray(s2, np.int32)
     m, n = s1.size, s2.size
@@ -521,7 +674,7 @@ def align_global(
         if n > MAX_BOUNDARY:
             raise ValueError("pair exceeds the boundary-row envelope")
         sc, x, y = align_global(
-            s2, s1, cfg, rows=rows, interpret=interpret
+            s2, s1, _transposed(cfg), rows=rows, interpret=interpret
         )
         return sc, y, x
     R = rows * LANES
@@ -655,14 +808,10 @@ def align_local(
     ``oracle.traceback`` in local mode (optimal path; tie order may differ
     from the oracle's row-major-first convention).
     """
-    ensure_pair_modes(cfg, "band_align")
+    _check_align_cfg(cfg)
     if not cfg.is_local:
         raise ValueError("align_local requires a local (SW) config")
-    if cfg.is_affine:
-        raise ValueError(
-            "affine gaps are outside the band alignment's envelope; "
-            "small problems align via the oracle (see api.align)")
-    if cfg.mismatch > 0 or cfg.gap > 0:
+    if not cfg.has_matrix and (cfg.mismatch > 0 or cfg.gap > 0):
         raise ValueError(
             "positive mismatch/gap local configs use the masked engine; "
             "take the checkpointed traceback path"
@@ -675,7 +824,8 @@ def align_local(
     if m > MAX_BOUNDARY:
         if n > MAX_BOUNDARY:
             raise ValueError("pair exceeds the boundary-row envelope")
-        sc, x, y = align_local(s2, s1, cfg, rows=rows, interpret=interpret)
+        sc, x, y = align_local(s2, s1, _transposed(cfg), rows=rows,
+                               interpret=interpret)
         return sc, y, x
 
     i_star, j_star, vmax = _locate_end(
@@ -722,7 +872,8 @@ def align_local(
     if i_s >= i_star or j_s >= j_star:
         raise ValueError("reverse locate crossed the forward end cell")
     gcfg = ScoringConfig(
-        match=cfg.match, mismatch=cfg.mismatch, gap=cfg.gap
+        match=cfg.match, mismatch=cfg.mismatch, gap=cfg.gap,
+        matrix=cfg.matrix,
     )
     sc, a1, a2 = align_global(
         s1[j_s:j_star], s2[i_s:i_star], gcfg, interpret=interpret
@@ -741,18 +892,23 @@ def _locate_end(s1, s2, cfg, *, rows, interpret):
     return _locate_end_impl(s1, s2, cfg, rows=rows, interpret=interpret)
 
 
-def _rowscan_np(b_row, s1, s2_seg, cfg):
+def _rowscan_np(b_row, s1, s2_seg, cfg, zero_col=False):
     """Vectorized NumPy row scan from a given boundary row (the left-dep
     resolves to a running max of ``cand_j - j*gap``); used for refills too
     small to be worth a device dispatch."""
     m = s1.size
     g = cfg.gap
+    zc = cfg.is_local or zero_col
+    mat = np.asarray(cfg.matrix, np.int64) if cfg.has_matrix else None
     jg = np.arange(m + 1, dtype=np.int64) * g
     row = b_row.astype(np.int64).copy()
     for i in range(s2_seg.size):
-        eq = np.where(s1 == s2_seg[i], cfg.match, cfg.mismatch)
+        if mat is not None:
+            eq = mat[np.asarray(s1, np.int64), int(s2_seg[i])]
+        else:
+            eq = np.where(s1 == s2_seg[i], cfg.match, cfg.mismatch)
         cand = np.empty(m + 1, np.int64)
-        cand[0] = 0 if cfg.is_local else row[0] + g
+        cand[0] = 0 if zc else row[0] + g
         cand[1:] = np.maximum(row[:-1] + eq, row[1:] + g)
         if cfg.is_local:
             cand = np.maximum(cand, 0)
@@ -763,22 +919,139 @@ def _rowscan_np(b_row, s1, s2_seg, cfg):
     return row
 
 
-def _fill_from(s1, s2_seg, cfg, rows, b_in, *, use_f32, interpret=False):
+def _caps_to_col(caps, plan, n, R, rows, b0m):
+    """Assemble the last-column vector H(0..n, m) from per-strip capture
+    planes.  Slot (r, c) of strip (i0, klo) holds k = c*rows + r, which is
+    DP row ``i0 + 1 + (k - klo)`` when ``klo <= k < k_hi``.  ``b0m`` is
+    H(0, m) from the initial boundary row."""
+    col = np.empty(n + 1, np.int64)
+    col[0] = b0m
+    for s, (i0, klo) in enumerate(plan):
+        cnt = min(n - i0, R - klo)
+        kvals = caps[s].T.reshape(-1)  # k-ordered: index c*rows + r
+        col[i0 + 1 : i0 + 1 + cnt] = kvals[klo : klo + cnt].astype(np.int64)
+    return col
+
+
+def locate_flex_device(
+    s1,
+    s2,
+    cfg: ScoringConfig,
+    *,
+    anchored: bool = False,
+    rows: int = 112,
+    interpret: bool = False,
+):
+    """(score, ie, je) of an optimal extraction cell for the ends-free
+    modes — the device analog of ``native.locate_flex`` (same boundary
+    forms and argmax conventions), one band fill instead of an O(nm) CPU
+    scan.
+
+    ``anchored=False``: forward end-locate with the mode's free-start
+    boundaries.  ``anchored=True``: the reversed start-locate — global
+    (gap-penalized) boundaries anchor every path at (0, 0); the extraction
+    set is unchanged (reversed last row ⇔ original row 0, reversed last
+    column ⇔ original column 0).
+    """
+    if not cfg.is_ends_free:
+        raise ValueError("locate_flex_device serves the sg/infix modes")
+    if cfg.is_affine:
+        raise ValueError("locate_flex_device is linear-gap only")
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+    if anchored:
+        zr = zc = False
+    else:
+        zr, zc = cfg.free_start_s1, cfg.free_start_s2
+    # native extract sets: sg = last row then strictly-greater last column;
+    # infix = last row only (both forward and anchored)
+    ext_col = cfg.free_end_s2
+    return _locate_flags(s1, s2, cfg, zr, zc, True, ext_col,
+                         rows=rows, interpret=interpret)
+
+
+def _locate_flags(s1, s2, cfg, zr, zc, ext_row, ext_col, *,
+                  rows, interpret, prefer_row=True):
+    """Optimal cell over the selected boundary extraction set of the fill
+    with (zr, zc) zero boundaries: the last DP row (``ext_row``) and/or
+    the last column (``ext_col``).  ``prefer_row`` breaks score ties
+    toward the row cell (the native convention); the swapped-orientation
+    recursion flips it so the ORIGINAL row keeps winning ties."""
+    m, n = int(s1.size), int(s2.size)
+    assert ext_row or ext_col
+    if m == 0 or n == 0:
+        # degenerate: the table is its own boundary row/column
+        row = np.zeros(m + 1, np.int64) if zr \
+            else np.arange(m + 1, dtype=np.int64) * cfg.gap
+        col = np.zeros(n + 1, np.int64) if zc \
+            else np.arange(n + 1, dtype=np.int64) * cfg.gap
+        if n == 0:  # single-row table: last row = the row, last col = [m]
+            cands = []
+            if ext_row:
+                j = int(row.argmax())
+                cands.append((int(row[j]), 0, j, 0 if prefer_row else 1))
+            if ext_col:
+                cands.append((int(row[m]), 0, m, 1 if prefer_row else 0))
+        else:  # single-column table (m == 0)
+            cands = []
+            if ext_row:
+                cands.append((int(col[n]), n, 0, 0 if prefer_row else 1))
+            if ext_col:
+                i = int(col.argmax())
+                cands.append((int(col[i]), i, 0, 1 if prefer_row else 0))
+        sc, i, j, _ = max(cands, key=lambda c: (c[0], -c[3]))
+        return sc, i, j
+    if m > MAX_BOUNDARY:
+        if n > MAX_BOUNDARY:
+            raise ValueError("pair exceeds the boundary-row envelope")
+        # swapped orientation: the table (and matrix) transpose, row and
+        # column roles exchange — including the extraction flags and the
+        # tie preference
+        sc, je, ie = _locate_flags(
+            s2, s1, _transposed(cfg), zc, zr, ext_col, ext_row,
+            rows=rows, interpret=interpret, prefer_row=not prefer_row)
+        return sc, ie, je
+    out = _fill(
+        s1, s2, cfg, rows, bottom_align=True, interpret=interpret,
+        zero_row=zr, zero_col=zc, capture=ext_col,
+    )
+    bs, plan = out[0], out[3]
+    best = None
+    if ext_row:
+        row = bs[-1][: m + 1].astype(np.int64)
+        brj = int(row.argmax())
+        best = (int(row[brj]), n, brj)
+    if ext_col:
+        R = rows * LANES
+        b0m = 0 if zr else m * cfg.gap
+        col = _caps_to_col(out[4], plan, n, R, rows, b0m)
+        bci = int(col.argmax())
+        bc = int(col[bci])
+        if best is None or bc > best[0] or (bc == best[0]
+                                            and not prefer_row):
+            best = (bc, bci, m)
+    return best
+
+
+def _fill_from(s1, s2_seg, cfg, rows, b_in, *, use_f32, interpret=False,
+               zero_col=False):
     """Band fill of a row segment starting from a given boundary row —
     bottom-aligned so the LAST boundary output is exactly the segment's
     final row.  Used by the SW locate pass.  ``use_f32`` must reflect the
     PARENT problem's value bound (``b_in`` carries its magnitudes)."""
     m = int(s1.shape[0])
+    m_pad = _bucket(m)
     nseg = int(s2_seg.shape[0])
     vdt = jnp.float32 if use_f32 else jnp.int32
     R = rows * LANES
     plan = _plan_strips(nseg, R, bottom_align=True)
     K = len(plan)
+    pad_char, _ = _sentinels(cfg)
     s1j = jnp.asarray(s1, jnp.int32)
     s2j = jnp.asarray(s2_seg, jnp.int32)
-    s1p = _pack4(s1j, m)
+    s1p = _pack4(s1j, m_pad)
     r0 = nseg % R or R
-    cm = jnp.full((K * R,), PAD_CHAR, jnp.int32)
+    cm = jnp.full((K * R,), pad_char, jnp.int32)
     cm = jax.lax.dynamic_update_slice(
         cm, s2j[:r0].astype(jnp.int32), (R - r0,)
     )
@@ -789,15 +1062,18 @@ def _fill_from(s1, s2_seg, cfg, rows, b_in, *, use_f32, interpret=False):
     s2cm_all = (
         cm.reshape(K, LANES, rows).transpose(0, 2, 1).reshape(K * rows, LANES)
     )
-    scs = np.zeros((K, 4), np.int32)
+    scs = np.zeros((K, 5), np.int32)
     for s, (i0, klo) in enumerate(plan):
         scs[s, 0] = i0
         scs[s, 1] = klo
         scs[s, 2] = int(np.asarray(s2_seg)[i0])
         scs[s, 3] = klo + min(nseg - i0, R - klo)
-    b0 = jnp.asarray(b_in[: m + 3]).astype(vdt)
-    bs, vmaxs, vplanes = _strip_scan(
-        s1p, s2cm_all, jnp.asarray(scs), b0, m, rows, cfg, use_f32,
-        interpret,
+        scs[s, 4] = m
+    b0np = np.zeros(m_pad + 3, np.int64)  # pad-col boundary: any finite
+    b0np[: m + 1] = np.asarray(b_in[: m + 1])  # value — pad cells decay
+    b0 = jnp.asarray(b0np).astype(vdt)  # and callers slice to m + 1
+    bs, vmaxs, vplanes, _ = _strip_scan(
+        s1p, s2cm_all, jnp.asarray(scs), b0, _prof0s(cfg, scs, use_f32),
+        m_pad, rows, cfg, use_f32, interpret, zc=zero_col,
     )
     return np.asarray(bs), np.asarray(vmaxs), np.asarray(vplanes), plan

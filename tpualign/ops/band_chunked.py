@@ -46,7 +46,7 @@ MAX_AXIS = 1 << 27
 def strip_geometry(ns: int, R: int):
     """Static per-strip scalars and the query gather map for a strip axis of
     ``ns`` rows cut into strips of ``R``: returns ``(scs_np, idx_np)`` where
-    ``scs_np`` is (K, 4) ``[i0, klo, s2_first, k_hi]`` (bottom-aligned
+    ``scs_np`` is (K, 5) ``[i0, klo, s2_first, k_hi, cap_col]`` (bottom-aligned
     partial strips, so the final boundary row is exactly row ``ns``) and
     ``idx_np`` maps slot-layout position -> query index (-1 = pad).
 
@@ -68,12 +68,12 @@ def strip_geometry(ns: int, R: int):
             d = want_live - counts[-1]
             counts[-2] -= d
             counts[-1] += d
-    scs_np = np.zeros((K, 4), np.int32)
+    scs_np = np.zeros((K, 5), np.int32)
     idx_np = np.full(K * R, -1, np.int64)
     i0 = 0
     for s, cnt in enumerate(counts):
         klo = R - cnt
-        scs_np[s] = (i0, klo, 0, R)
+        scs_np[s] = (i0, klo, 0, R, 0)  # [4] = capture col, set by callers
         idx_np[s * R + klo : (s + 1) * R] = i0 + np.arange(cnt)
         i0 += cnt
     return scs_np, idx_np
@@ -126,7 +126,7 @@ def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt):
 def _chunked_scan(
     s1p: jax.Array,  # (ceil(m/8) padded to block words,) packed text
     s2cm_all: jax.Array,  # (K * nr, LANES) strip chars
-    scs: jax.Array,  # (K, 4) per-strip [i0, klo, s2_first, k_hi]
+    scs: jax.Array,  # (K, 5) per-strip [i0, klo, s2_first, k_hi, cap_col]
     m: int,
     n: int,
     nr: int,
@@ -136,6 +136,7 @@ def _chunked_scan(
     interpret: bool,
 ):
     vdt = jnp.float32 if use_f32 else jnp.int32
+    scs = scs.at[:, 4].set(block)  # capture at each block's last column
     R = nr * LANES
     K = scs.shape[0]
     Q = -(-m // block)

@@ -59,7 +59,7 @@ def _pipeline_body(
     vdt,
     interpret: bool,
     s1p_local: jax.Array,  # (W//8,) this chip's packed text columns
-    scs: jax.Array,  # (K, 4) replicated strip scalars
+    scs: jax.Array,  # (K, 5) replicated strip scalars
     s2cm_all: jax.Array,  # (K*nr, LANES) replicated strip chars
     heads0: jax.Array,  # (K, nr, LANES) replicated analytic left columns
 ) -> jax.Array:
@@ -88,7 +88,7 @@ def _pipeline_body(
         h = t - c  # my strip index this superstep
         active = (h >= 0) & (h < K)
         hc = jnp.clip(h, 0, K - 1)
-        sc = jax.lax.dynamic_slice(scs, (hc, 0), (1, 4))[0]
+        sc = jax.lax.dynamic_slice(scs, (hc, 0), (1, 5))[0]
         s2cm_s = jax.lax.dynamic_slice(
             s2cm_strips, (hc, 0, 0), (1, nr, LANES))[0]
         h0 = jax.lax.dynamic_slice(heads0, (hc, 0, 0), (1, nr, LANES))[0]
@@ -164,6 +164,7 @@ def score_fn(
     unroll = 16
     t_steps = _round_up(W + p_max + 132, unroll)
     scs_np, idx_np = strip_geometry(ns, R)
+    scs_np[:, 4] = W  # capture at each chip block's last column (the halo)
 
     shard = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(AXIS))
     repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())

@@ -293,7 +293,7 @@ def traceback(s1: np.ndarray, s2: np.ndarray, cfg=None):
     ops = ops[:ln][::-1]  # 0 = diag, 1 = up (gap in s1), 2 = left (gap in s2)
     # vectorized string rebuild: char code 0 renders as the gap symbol;
     # local paths start mid-sequence at the returned start cell
-    lut = np.frombuffer(b"-ATGC", dtype=np.uint8)
+    lut = np.frombuffer(b"-ATGCRYSWKMBDHVN", dtype=np.uint8)  # io.bdna.BASES
 
     def render(seq, take):
         if seq.size == 0:
