@@ -9,7 +9,7 @@ sharing no code with the vectorized oracle row (`oracle._affine_row`).
 import numpy as np
 import pytest
 
-from tpualign.config import AlignMode, ScoringConfig
+from tpualign.config import AlignMode, EngineConfig, ScoringConfig
 from tpualign.io.bdna import random_pair
 from tpualign.ops import oracle
 
@@ -176,6 +176,97 @@ def test_batch_api_affine_one_dispatch(mode):
     got = align_score_batch(texts, queries, cfg)
     want = [oracle.score(t, q, cfg) for t, q in zip(texts, queries)]
     assert got.tolist() == want
+
+
+@pytest.mark.parametrize("mode", [AlignMode.SEMIGLOBAL, AlignMode.INFIX],
+                         ids=["sg", "infix"])
+@pytest.mark.parametrize("mat", [False, True], ids=["pair", "mat"])
+@pytest.mark.parametrize("m,n", [(60, 35), (35, 60)])
+def test_band_affine_ends_free_score(mode, mat, m, n):
+    # round 5: the Gotoh boundary-F ends-free forms in the band kernel
+    # (zeroed H rows with NEG F rows, converged open+ext column-0 F chain,
+    # forced-zero scalar head under zc), native-checked
+    from tpualign.matrices import dna
+    from tpualign.ops import band
+    from tpualign.utils import native
+
+    kw = dict(mode=mode, gap_open=-5, gap_extend=-2, gap=-2)
+    if mat:
+        kw["matrix"] = dna(2, -1, -3)
+    else:
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    s1, s2 = random_pair(m, n, seed=3 * m + n)
+    got = band.score(s1, s2, cfg, rows=8, interpret=True)
+    want = oracle.score(s1, s2, cfg)
+    assert got == want
+    if native.available():
+        assert native.score(s1, s2, cfg) == want
+
+
+@pytest.mark.parametrize("mode", [AlignMode.SEMIGLOBAL, AlignMode.INFIX],
+                         ids=["sg", "infix"])
+def test_band_affine_ends_free_multistrip(mode):
+    # strips cross: the F boundary-row hand-off under the ends-free forms
+    from tpualign.ops import band
+
+    cfg = ScoringConfig(match=2, mismatch=-1, gap_open=-5, gap_extend=-2,
+                        gap=-2, mode=mode)
+    for m, n in ((300, 280), (280, 300)):
+        s1, s2 = random_pair(m, n, seed=m + n)
+        got = band.score(s1, s2, cfg, rows=2, interpret=True)
+        assert got == oracle.score(s1, s2, cfg), (mode, m, n)
+
+
+@pytest.mark.parametrize("mode", [AlignMode.GLOBAL, AlignMode.LOCAL],
+                         ids=["nw", "sw"])
+def test_affine_matrix_align(mode):
+    # round 5: Myers-Miller / locate-anchor with matrix substitutions
+    from tpualign.matrices import dna
+    from tpualign.ops import affine_align
+    from tpualign.utils import native
+
+    cfg = ScoringConfig(gap=-2, matrix=dna(2, -1, -3), gap_open=-5,
+                        gap_extend=-2, mode=mode)
+    s1, s2 = random_pair(120, 100, seed=5)
+    if mode is AlignMode.GLOBAL:
+        sc, a1, a2 = affine_align.align(s1, s2, cfg)
+    else:
+        sc, a1, a2 = affine_align.align_local(s1, s2, cfg)
+    want = oracle.score(s1, s2, cfg)
+    assert sc == want
+    if native.available():
+        assert native.score(s1, s2, cfg) == want
+    gcfg = cfg.with_mode(AlignMode.GLOBAL)
+    assert oracle.alignment_score(a1, a2, gcfg) == sc
+
+
+@pytest.mark.parametrize("mode", [AlignMode.SEMIGLOBAL, AlignMode.INFIX],
+                         ids=["sg", "infix"])
+@pytest.mark.parametrize("mat", [False, True], ids=["pair", "mat"])
+def test_affine_ends_free_align_large(mode, mat, monkeypatch):
+    # round 5: the full affine ends-free reduction (locate + anchored
+    # locate + Myers-Miller core) — was a ValueError through round 4
+    from tpualign.matrices import dna
+    from tpualign.ops import ends_free
+    from tpualign.utils import native
+
+    monkeypatch.setattr(ends_free, "LEAF_CELLS", 500)
+    kw = dict(mode=mode, gap_open=-5, gap_extend=-2, gap=-2)
+    if mat:
+        kw["matrix"] = dna(2, -1, -3)
+    else:
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    s1, s2 = random_pair(80, 70, seed=31)
+    sc, a1, a2 = ends_free.align_large(s1, s2, cfg, EngineConfig())
+    want = oracle.score(s1, s2, cfg)
+    assert sc == want
+    if native.available():
+        assert native.score(s1, s2, cfg) == want
+    if a1:
+        gcfg = cfg.with_mode(AlignMode.GLOBAL)
+        assert oracle.alignment_score(a1, a2, gcfg) == sc
 
 
 @pytest.mark.parametrize("shape", ["matrix", "sg", "infix"])

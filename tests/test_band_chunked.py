@@ -53,6 +53,28 @@ def test_single_block_degenerates_to_band():
     assert got == oracle.score(s1, s2, GEN)
 
 
+@pytest.mark.parametrize(
+    "mode", [AlignMode.GLOBAL, AlignMode.LOCAL, AlignMode.SEMIGLOBAL,
+             AlignMode.INFIX], ids=["nw", "sw", "sg", "infix"])
+@pytest.mark.parametrize("mat", [False, True], ids=["pair", "mat"])
+@pytest.mark.parametrize("m,n", [(700, 520), (520, 700)])
+def test_chunked_modes(mode, mat, m, n):
+    # round-5 composition: matrix scoring and the ends-free modes across
+    # block boundaries — per-block last-row folds, the final block's
+    # true-column capture feeding the last-column extraction
+    from tpualign import matrices
+
+    kw = dict(mode=mode, gap=-2)
+    if mat:
+        kw["matrix"] = matrices.dna(2, -1, -3)
+    else:
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    s1, s2 = random_pair(m, n, m + n, lo=1)
+    got = band_chunked.score(s1, s2, cfg, rows=2, block=256, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
 def test_sw_max_in_middle_block():
     # the SW running max must survive blocks after the one that set it:
     # plant a strong match region in an early block, then noise
@@ -62,6 +84,23 @@ def test_sw_max_in_middle_block():
     s1[140:170] = s2[40:70]  # block 1 of 4 (block=128) holds the max
     got = band_chunked.score(s1, s2, SW, rows=2, block=128, interpret=True)
     assert got == oracle.score(s1, s2, SW)
+
+
+def test_sg_last_column_ragged_final_block():
+    # regression (400k silicon native gate): captures in a RAGGED final
+    # block fire at t = m_rem + phase, which can precede the static
+    # block-width capture gate — the last-column extraction then silently
+    # missed early rows.  Overlap pair: s1's suffix matches s2's prefix
+    # (disjoint alphabets elsewhere), so the sg optimum sits on the last
+    # column at a small row index whose capture fires earliest.
+    r = np.random.default_rng(13)
+    s1 = r.integers(1, 3, 808).astype(np.int8)   # codes {1, 2}
+    s2 = r.integers(3, 5, 700).astype(np.int8)   # codes {3, 4}
+    s2[:50] = s1[-50:]  # the overlap
+    cfg = ScoringConfig(match=2, mismatch=-1, gap=-2,
+                        mode=AlignMode.SEMIGLOBAL)
+    got = band_chunked.score(s1, s2, cfg, rows=2, block=256, interpret=True)
+    assert got == oracle.score(s1, s2, cfg) == 100
 
 
 def test_block_width_validation():

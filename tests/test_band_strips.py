@@ -58,6 +58,67 @@ def test_mesh_size_invariance():
         assert got == want, p
 
 
+MAT5 = None  # built lazily (tpualign.matrices import at module scope is fine)
+
+
+@pytest.mark.parametrize(
+    "mode,mat,m,n",
+    [
+        (AlignMode.GLOBAL, True, 900, 600),
+        (AlignMode.LOCAL, True, 900, 600),
+        (AlignMode.SEMIGLOBAL, False, 900, 600),
+        (AlignMode.SEMIGLOBAL, True, 600, 900),  # swap + matrix transpose
+        (AlignMode.INFIX, False, 600, 900),  # swapped infix: ec-only flags
+        (AlignMode.INFIX, True, 900, 600),
+    ],
+    ids=["nw-mat", "sw-mat", "sg", "sg-mat-swap", "infix-swap", "infix-mat"],
+)
+def test_mesh8_modes(mesh8, mode, mat, m, n):
+    # round-5 composition: matrix scoring and the ends-free modes through
+    # the chip pipeline (per-chip capture columns feed the last-column
+    # extraction; the final b rows feed the last-row extraction)
+    from tpualign import matrices
+
+    kw = dict(mode=mode, gap=-2)
+    if mat:
+        kw["matrix"] = matrices.dna(2, -1, -3)
+    else:
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    s1, s2 = random_pair(m, n, m + 3 * n, lo=1)
+    got = band_strips.score(s1, s2, cfg, mesh=mesh8, rows=2, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
+
+
+def test_sg_last_column_early_row(mesh8):
+    # regression (400k silicon native gate): the owner chip's capture
+    # column is its true text end (< W when ragged), firing before the
+    # static W-based gate — early rows of the last column were missed.
+    # Disjoint alphabets outside a 6-row overlap pin the sg optimum there.
+    r = np.random.default_rng(23)
+    s1 = r.integers(1, 3, 808).astype(np.int8)
+    s2 = r.integers(3, 5, 700).astype(np.int8)
+    s2[:6] = s1[-6:]
+    cfg = ScoringConfig(match=2, mismatch=-1, gap=-2,
+                        mode=AlignMode.SEMIGLOBAL)
+    got = band_strips.score(s1, s2, cfg, mesh=mesh8, rows=2, interpret=True)
+    assert got == oracle.score(s1, s2, cfg) == 12
+
+
+def test_mesh_size_invariance_modes():
+    # P in {1, 2, 4, 8} exactness for a matrix-semiglobal config
+    from tpualign import matrices
+
+    cfg = ScoringConfig(gap=-2, matrix=matrices.dna(2, -1, -3),
+                        mode=AlignMode.SEMIGLOBAL)
+    s1, s2 = random_pair(500, 400, 17, lo=1)
+    want = oracle.score(s1, s2, cfg)
+    for p in (1, 2, 4, 8):
+        got = band_strips.score(
+            s1, s2, cfg, mesh=make_mesh(p), rows=2, interpret=True)
+        assert got == want, p
+
+
 def test_swap_path_and_ragged(mesh8):
     # n > m puts the strips on s1; lengths indivisible by 8*P and R
     for m, n in ((333, 901), (901, 333), (130, 131)):

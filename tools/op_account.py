@@ -190,7 +190,10 @@ def wall(fn, x, reps=5):
 
 def main():
     assert jax.default_backend() == "tpu", "run on the chip"
-    T1, T2 = 1 << 17, 1 << 18
+    # slope steps sized so the T2-T1 delta is ~100 ms of kernel time —
+    # far above the tunnel's run-to-run noise (the r4 run used 1<<17/1<<18,
+    # whose ~7 ms delta drowned and read ~0 cyc/step for every group)
+    T1, T2 = 1 << 21, 1 << 22
     x = jnp.asarray(np.arange(64), jnp.int32)
     freq = 940e6  # v5e core clock
     rows = []

@@ -81,11 +81,18 @@ def resolve_impl(
     import jax
 
     if scoring is not None and (scoring.has_matrix or scoring.is_ends_free):
-        # round-4 scoring shapes: the band kernel serves them once its
-        # profile/extraction paths land; until then the XLA scan does
+        # round-4 scoring shapes: served natively by the band kernel and
+        # (round 5) its chunked and sharded tiers; only the affine
+        # ends-free composition still rides the XLA scan
         from .ops import band
 
-        return "band" if band.supports(scoring) else "xla"
+        if not band.supports(scoring):
+            return "xla"
+        if shape is not None and len(jax.devices()) > 1:
+            m, n = shape
+            if max(m, n) >= 4096 * len(jax.devices()):
+                return "band-strips"
+        return "band"
     fam = None
     if scoring is not None:
         from .ops import bitpal
@@ -137,13 +144,17 @@ def align_score(
         try:
             # band kernel inside every shard (hybrid-vert successor);
             # falls back to the portable sharded row scan outside its
-            # envelope (masked SW, per-chip block over the SMEM budget)
+            # envelope (masked SW, per-chip block over the SMEM budget) —
+            # matrix/ends-free configs fall to the single-chip band tiers
+            # instead (the portable row-scan pipeline is pair-only)
             return band_strips.score(
                 s1, s2, scoring,
                 interpret=engine.interpret or _platform() != "tpu",
             )
         except ValueError:
-            impl = "strips"
+            impl = "strips" if not (
+                scoring.has_matrix or scoring.is_ends_free
+            ) else "band"
     if impl == "strips":
         from .parallel import strips
 
@@ -165,12 +176,9 @@ def align_score(
         try:
             return band.score(s1, s2, scoring, interpret=engine.interpret)
         except ValueError:  # outside the boundary-row envelope
-            # (the chunked tier is linear-gap pair scoring; affine and the
-            # round-4 shapes fall to the scan)
-            impl = "xla" if (
-                scoring.is_affine or scoring.has_matrix
-                or scoring.is_ends_free
-            ) else "band-chunked"
+            # (the chunked tier serves matrix/ends-free too since round 5;
+            # affine still falls to the scan)
+            impl = "xla" if scoring.is_affine else "band-chunked"
     if impl == "band-chunked":
         from .ops import band_chunked
 
@@ -179,7 +187,9 @@ def align_score(
                 s1, s2, scoring, interpret=engine.interpret
             )
         except ValueError:  # masked SW / beyond the HBM guard
-            impl = "pallas"
+            impl = "xla" if (
+                scoring.has_matrix or scoring.is_ends_free
+            ) else "pallas"
     if impl == "xla":
         from .ops import xla
 

@@ -38,12 +38,36 @@ from typing import Tuple
 
 import numpy as np
 
-from ..config import ensure_pair_modes, ScoringConfig
+from ..config import ScoringConfig
 
 #: below this many table cells a node solves the flagged full table directly
 BASE_CELLS = 1 << 20
 
 NEG = -(np.int64(1) << np.int64(40))
+
+
+def _check_affine_align_cfg(cfg: ScoringConfig) -> None:
+    """Gate: global/local affine, pair or matrix scoring (the ends-free
+    affine modes reduce through ``ops.ends_free`` to global cores solved
+    here)."""
+    if cfg.is_ends_free:
+        raise ValueError(
+            "affine_align serves global/local configs; ends-free affine "
+            "modes reduce through ops.ends_free")
+
+
+def _mat17(cfg: ScoringConfig) -> np.ndarray:
+    """(17, 17) int64 substitution table: the config's matrix in the top
+    corner, the decaying sentinel everywhere else (the scans' pad code
+    :data:`_PAD` = 16 rows/cols included) — or the match/mismatch pair
+    table when no matrix is set (pad handled by the callers' sentinel,
+    which matches nothing)."""
+    from .band import _min0
+
+    k = len(cfg.matrix)
+    out = np.full((17, 17), _min0(cfg), np.int64)
+    out[:k, :k] = np.asarray(cfg.matrix, np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +93,7 @@ def _base_align(
 
     open_, ext = np.int64(cfg.gap_open), np.int64(cfg.gap_extend)
     tb, te = np.int64(tb), np.int64(te)
+    matx = _mat17(cfg) if cfg.has_matrix else None
     M, N = s1.size, s2.size
     jext = np.arange(M + 1, dtype=np.int64) * ext
     H = np.zeros((N + 1, M + 1), dtype=np.int64)
@@ -82,8 +107,11 @@ def _base_align(
     # tests below see exact E/F/H everywhere.
     for i in range(1, N + 1):
         row_open = tb if i == 1 else open_
-        sub = np.where(s1 == s2[i - 1], np.int64(cfg.match),
-                       np.int64(cfg.mismatch))
+        if matx is not None:
+            sub = matx[np.asarray(s1, np.int64), int(s2[i - 1])]
+        else:
+            sub = np.where(s1 == s2[i - 1], np.int64(cfg.match),
+                           np.int64(cfg.mismatch))
         F[i] = np.maximum(H[i - 1] + row_open, F[i - 1]) + ext
         T = np.empty(M + 1, dtype=np.int64)
         T[0] = tb + i * ext
@@ -113,7 +141,7 @@ def _base_align(
                 a2.append("-")
                 j -= 1
                 continue
-            sub = cfg.match if s1[j - 1] == s2[i - 1] else cfg.mismatch
+            sub = cfg.sub_score(int(s1[j - 1]), int(s2[i - 1]))
             if H[i, j] == H[i - 1, j - 1] + sub:
                 a1.append(BASES[s1[j - 1]])
                 a2.append(BASES[s2[i - 1]])
@@ -169,6 +197,14 @@ def _scan_fn(mb: int, nb: int, cfg: ScoringConfig):
     match = jnp.int32(cfg.match)
     mismatch = jnp.int32(cfg.mismatch)
     NEG_INF = jnp.int32(-(2**30))
+    if cfg.has_matrix:
+        matf = jnp.asarray(_mat17(cfg).reshape(-1), jnp.int32)
+
+        def subs(s1p, base):
+            return matf[s1p * 17 + base]
+    else:
+        def subs(s1p, base):
+            return jnp.where(s1p == base, match, mismatch)
 
     @jax.jit
     def fn(s1p, s2p, n, tb):
@@ -180,7 +216,7 @@ def _scan_fn(mb: int, nb: int, cfg: ScoringConfig):
         def step(carry, xs):
             h_prev, f_prev = carry
             base, k = xs
-            sub = jnp.where(s1p == base, match, mismatch)
+            sub = subs(s1p, base)
             f = jnp.maximum(h_prev + jnp.where(k == 0, tb, open_),
                             f_prev) + ext
             t = jnp.maximum(h_prev[:-1] + sub, f[1:])
@@ -201,17 +237,22 @@ def _scan_fn(mb: int, nb: int, cfg: ScoringConfig):
     return fn
 
 
-#: sentinel code that equals no real base (bases are 1..4)
+#: sentinel code that equals no real base (bases are 1..4); matrix
+#: configs pad with 16 instead — the decaying sentinel row of _mat17
 _PAD = 9
+
+
+def _pad_code(cfg: ScoringConfig) -> int:
+    return 16 if cfg.has_matrix else _PAD
 
 
 def _scan(s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig, tb: int):
     """(H, F) rows (numpy, length m+1) after aligning all of ``s2``."""
     m, n = s1.size, s2.size
     mb, nb = _bucket(m), _bucket(n)
-    s1p = np.full(mb, _PAD, np.int32)
+    s1p = np.full(mb, _pad_code(cfg), np.int32)
     s1p[:m] = s1
-    s2p = np.full(nb, _PAD, np.int32)
+    s2p = np.full(nb, _pad_code(cfg), np.int32)
     s2p[:n] = s2
     import jax.numpy as jnp
 
@@ -269,6 +310,14 @@ def _locate_fn(mb: int, nb: int, cfg: ScoringConfig):
     match = jnp.int32(cfg.match)
     mismatch = jnp.int32(cfg.mismatch)
     NEG_INF = jnp.int32(-(2**30))
+    if cfg.has_matrix:
+        matf = jnp.asarray(_mat17(cfg).reshape(-1), jnp.int32)
+
+        def subs(s1p, base):
+            return matf[s1p * 17 + base]
+    else:
+        def subs(s1p, base):
+            return jnp.where(s1p == base, match, mismatch)
 
     @jax.jit
     def fn(s1p, s2p, n):
@@ -279,7 +328,7 @@ def _locate_fn(mb: int, nb: int, cfg: ScoringConfig):
         def step(carry, xs):
             h_prev, f_prev, best, bi, bj = carry
             base, k = xs
-            sub = jnp.where(s1p == base, match, mismatch)
+            sub = subs(s1p, base)
             f = jnp.maximum(h_prev + open_, f_prev) + ext
             t = jnp.maximum(jnp.maximum(h_prev[:-1] + sub, f[1:]), 0)
             t = jnp.concatenate([jnp.zeros(1, jnp.int32), t])
@@ -308,9 +357,9 @@ def _locate_fn(mb: int, nb: int, cfg: ScoringConfig):
 def _locate(s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig):
     m, n = s1.size, s2.size
     mb, nb = _bucket(m), _bucket(n)
-    s1p = np.full(mb, _PAD, np.int32)
+    s1p = np.full(mb, _pad_code(cfg), np.int32)
     s1p[:m] = s1
-    s2p = np.full(nb, _PAD, np.int32)
+    s2p = np.full(nb, _pad_code(cfg), np.int32)
     s2p[:n] = s2
     import jax.numpy as jnp
 
@@ -337,6 +386,14 @@ def _first_hit_fn(mb: int, nb: int, cfg: ScoringConfig):
     match = jnp.int32(cfg.match)
     mismatch = jnp.int32(cfg.mismatch)
     NEG_INF = jnp.int32(-(2**30))
+    if cfg.has_matrix:
+        matf = jnp.asarray(_mat17(cfg).reshape(-1), jnp.int32)
+
+        def subs(s1p, base):
+            return matf[s1p * 17 + base]
+    else:
+        def subs(s1p, base):
+            return jnp.where(s1p == base, match, mismatch)
 
     @jax.jit
     def fn(s1p, s2p, n, m, target):
@@ -349,7 +406,7 @@ def _first_hit_fn(mb: int, nb: int, cfg: ScoringConfig):
         def step(carry, xs):
             h_prev, f_prev, found, bi, bj = carry
             base, k = xs
-            sub = jnp.where(s1p == base, match, mismatch)
+            sub = subs(s1p, base)
             f = jnp.maximum(h_prev + open_, f_prev) + ext
             t = jnp.maximum(h_prev[:-1] + sub, f[1:])
             left0 = open_ + (k + 1) * ext
@@ -377,6 +434,125 @@ def _first_hit_fn(mb: int, nb: int, cfg: ScoringConfig):
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _locate_flex_fn(mb: int, nb: int, cfg: ScoringConfig, zr: bool,
+                    zc: bool, ext_col: bool):
+    """Jitted ``(s1_pad, s2_pad, n, m) -> (br, brj, bc, bci)``: the
+    last-row max/argmax and (when ``ext_col``) the last-column running
+    max/argmax of the affine fill with (zr, zc) zero boundaries — the
+    Gotoh analog of ``band_align.locate_flex_device``'s extraction, on the
+    portable scan (native argmax conventions: first occurrence)."""
+    import jax
+    import jax.numpy as jnp
+
+    open_ = jnp.int32(cfg.gap_open)
+    ext = jnp.int32(cfg.gap_extend)
+    match = jnp.int32(cfg.match)
+    mismatch = jnp.int32(cfg.mismatch)
+    NEG_INF = jnp.int32(-(2**30))
+    if cfg.has_matrix:
+        matf = jnp.asarray(_mat17(cfg).reshape(-1), jnp.int32)
+
+        def subs(s1p, base):
+            return matf[s1p * 17 + base]
+    else:
+        def subs(s1p, base):
+            return jnp.where(s1p == base, match, mismatch)
+
+    @jax.jit
+    def fn(s1p, s2p, n, m):
+        jext = jnp.arange(mb + 1, dtype=jnp.int32) * ext
+        cols = jnp.arange(mb + 1, dtype=jnp.int32)
+        col_ok = cols <= m
+        if zr:
+            h0 = jnp.zeros(mb + 1, jnp.int32)
+        else:
+            h0 = (open_ + jext).at[0].set(0)
+        f0 = jnp.full(mb + 1, NEG_INF, jnp.int32)
+        bc0 = h0[jnp.minimum(m, mb)]  # H(0, m) seeds the column max
+
+        def step(carry, xs):
+            h_prev, f_prev, bc, bci = carry
+            base, k = xs
+            sub = subs(s1p, base)
+            f = jnp.maximum(h_prev + open_, f_prev) + ext
+            t = jnp.maximum(h_prev[:-1] + sub, f[1:])
+            left0 = jnp.int32(0) if zc else open_ + (k + 1) * ext
+            t = jnp.concatenate([left0[None], t])
+            c = jax.lax.associative_scan(jnp.maximum, t - jext)
+            e = jnp.concatenate([NEG_INF[None], c[:-1]]) + open_ + jext
+            h = jnp.maximum(t, e)
+            live = k < n
+            if ext_col:
+                hm = h[jnp.minimum(m, mb)]
+                better = live & (hm > bc)
+                bc = jnp.where(better, hm, bc)
+                bci = jnp.where(better, k + 1, bci)
+            h = jnp.where(live, h, h_prev)
+            f = jnp.where(live, f, f_prev)
+            return (h, f, bc, bci), 0
+
+        ks = jnp.arange(nb, dtype=jnp.int32)
+        (h, _, bc, bci), _ = jax.lax.scan(
+            step, (h0, f0, bc0, jnp.int32(0)), (s2p, ks))
+        hrow = jnp.where(col_ok, h, NEG_INF)
+        brj = jnp.argmax(hrow).astype(jnp.int32)
+        return hrow[brj], brj, bc, bci
+
+    return fn
+
+
+def locate_flex(s1, s2, cfg: ScoringConfig, *, anchored: bool = False):
+    """(score, ie, je) of an optimal extraction cell of the AFFINE
+    ends-free fill — mirrors ``native.locate_flex``'s boundary forms and
+    argmax conventions (forward: mode boundaries; anchored: global
+    boundaries on the reversed prefixes, same extraction set)."""
+    if not (cfg.is_affine and cfg.is_ends_free):
+        raise ValueError("locate_flex here serves affine sg/infix configs")
+    s1 = np.asarray(s1, np.int32)
+    s2 = np.asarray(s2, np.int32)
+    m, n = s1.size, s2.size
+    if anchored:
+        zr = zc = False
+    else:
+        zr, zc = cfg.free_start_s1, cfg.free_start_s2
+    ext_col = cfg.free_end_s2
+    if n == 0 or m == 0:
+        def bound(length, zero):
+            out = np.zeros(length + 1, np.int64)
+            if not zero and length:
+                out[1:] = cfg.gap_open + np.arange(
+                    1, length + 1, dtype=np.int64) * cfg.gap_extend
+            return out
+
+        row = bound(m, zr)
+        col = bound(n, zc)
+        if n == 0:
+            brj = int(row.argmax())
+            if ext_col and int(row[m]) > int(row[brj]):
+                return int(row[m]), 0, m
+            return int(row[brj]), 0, brj
+        br = int(col[n])
+        if ext_col:
+            i = int(col.argmax())
+            if int(col[i]) > br:
+                return int(col[i]), i, 0
+        return br, n, 0
+    mb, nb = _bucket(m), _bucket(n)
+    s1p = np.full(mb, _pad_code(cfg), np.int32)
+    s1p[:m] = s1
+    s2p = np.full(nb, _pad_code(cfg), np.int32)
+    s2p[:n] = s2
+    import jax.numpy as jnp
+
+    br, brj, bc, bci = _locate_flex_fn(mb, nb, cfg, zr, zc, ext_col)(
+        jnp.asarray(s1p), jnp.asarray(s2p), jnp.int32(n), jnp.int32(m))
+    br, brj, bc, bci = int(br), int(brj), int(bc), int(bci)
+    if ext_col and bc > br:
+        return bc, bci, m
+    return br, n, brj
+
+
 def align_local(
     s1,
     s2,
@@ -393,10 +569,12 @@ def align_local(
     substrings.  Returns the aligned strings of the matched substrings
     like ``oracle.traceback`` local mode.
     """
-    ensure_pair_modes(cfg, "affine_align")
+    _check_affine_align_cfg(cfg)
     if not (cfg.is_affine and cfg.is_local):
         raise ValueError("align_local requires a local affine config")
-    if cfg.mismatch > 0:
+    if not cfg.has_matrix and cfg.mismatch > 0:
+        # pad columns must decay for the locate scan's row max; matrix
+        # configs decay by construction (_mat17's sentinel rows)
         raise ValueError(
             "positive-mismatch local affine configs are outside this "
             "engine's envelope")
@@ -408,9 +586,9 @@ def align_local(
     r1 = s1[:je][::-1].copy()
     r2 = s2[:ie][::-1].copy()
     mb, nb = _bucket(r1.size), _bucket(r2.size)
-    s1p = np.full(mb, _PAD, np.int32)
+    s1p = np.full(mb, _pad_code(cfg), np.int32)
     s1p[: r1.size] = r1
-    s2p = np.full(nb, _PAD, np.int32)
+    s2p = np.full(nb, _pad_code(cfg), np.int32)
     s2p[: r2.size] = r2
     import jax.numpy as jnp
 
@@ -438,7 +616,7 @@ def align(
     optimal (tie choices may differ from the oracle's conventions — the
     score and validity are what is guaranteed, as with Hirschberg).
     """
-    ensure_pair_modes(cfg, "affine_align")
+    _check_affine_align_cfg(cfg)
     if not cfg.is_affine:
         raise ValueError("align() in affine_align requires an affine config")
     if cfg.is_local:

@@ -88,8 +88,10 @@ Round-4 scoring shapes (both beyond the reference)
   last DP row (er: slot ``k*`` of the peeled last strip — or the scalar
   chain when ``k* == 0``) and a j = m column-capture plane reduced per
   strip (ec); the j = 0 / i = 0 boundary cells are closed-form outside the
-  kernel.  Affine + ends-free is served by the XLA scan (no boundary-F
-  ends-free forms here yet).
+  kernel.  Affine composes with both (round 5): zr zeroes the H boundary
+  row while its F row stays NEG; zc's column-0 F chain converges to
+  ``open + ext`` (fed through ``bf0``) with the scalar head forced to 0
+  at t = 0; the closed-form boundary cells charge one open+extend run.
 """
 
 from __future__ import annotations
@@ -311,12 +313,17 @@ def _band_kernel_body(
             e_ref[:] = neg  # E = left-gap plane: decays until H is real
             fs_ref[:] = neg  # shifted F plane (up-gap), H's shift discipline
             pendf_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
-            # F(i0, 0): the column-0 gap chain equals H(i0, 0) globally
-            # (NEG on strip 0 / in local mode — it feeds only the injected
-            # column-0 H, any sane value works)
-            bf0 = vdt(NEG_INF) if local else jnp.where(
-                i0 == 0, vdt(NEG_INF), i0g
-            )
+            # F(i0, 0): the column-0 up-gap chain.  Globally it equals
+            # H(i0, 0); under a zero column (ends-free zc) it converges to
+            # open + ext from row 1 on (F(i,0) = max(0 + open, F(i-1,0)) +
+            # ext with ext <= 0).  NEG on strip 0 / in local mode — it
+            # feeds only the injected column-0 H, any sane value works
+            if local:
+                bf0 = vdt(NEG_INF)
+            elif zc:
+                bf0 = jnp.where(i0 == 0, vdt(NEG_INF), open_ + ext)
+            else:
+                bf0 = jnp.where(i0 == 0, vdt(NEG_INF), i0g)
         if local or zc:  # SW / free-start boundary: H(i, 0) = 0
             head_vals = jnp.zeros((nr, LANES), vdt)
         elif affine:  # H(i0+1+k, 0) = open + (i0+1+k) * ext
@@ -391,6 +398,8 @@ def _band_kernel_body(
                 e0s = jnp.maximum(c0s + open_, e0s) + ext
                 cand = jnp.where(t >= 1, bjm1 + sub0, vdt(NEG_INF))
                 c0s = jnp.maximum(jnp.maximum(cand, e0s), f0s)
+                if zc:  # free-start column: H(i0+1, 0) = 0, not the F form
+                    c0s = jnp.where(t == 0, vdt(0), c0s)
             else:
                 cand = jnp.maximum(bjm1 + sub0, bj + g)
                 cand = jnp.where(t >= 1, cand, vdt(NEG_INF))
@@ -765,12 +774,14 @@ def _ends_flags(cfg: ScoringConfig, swapped: bool):
 
 def supports(cfg: ScoringConfig) -> bool:
     """True when this kernel serves ``cfg``'s scoring shape (dispatch
-    consults this; unsupported shapes run on the xla engine)."""
-    # any matrix alphabet the config admits (K <= 16) fits: live codes
-    # 0..15 ride the 4-bit text pack, and both sentinels share code K
-    # (injected post-unpack / unpacked strip planes — see _sentinels)
-    if cfg.is_ends_free and cfg.is_affine:
-        return False  # the Gotoh boundary-F machinery lacks ends-free forms
+    consults this; unsupported shapes run on the xla engine).
+
+    Everything the config admits fits since round 5: matrix alphabets up
+    to K = 16 (live codes 0..15 ride the 4-bit text pack, both sentinels
+    share code K — see :func:`_sentinels`), and the affine ends-free
+    compositions (zero-boundary Gotoh forms: zeroed H rows with NEG F
+    rows, the converged open+ext column-0 F chain, and a forced-zero
+    scalar head under zc)."""
     return True
 
 
@@ -817,14 +828,17 @@ def _empty_score(m: int, n: int, cfg: ScoringConfig) -> int:
     """Closed-form score when either sequence is empty."""
     if cfg.is_local or m + n == 0:
         return 0
+
+    def run(length: int) -> int:  # cost of one all-gap run
+        if cfg.is_affine:
+            return cfg.gap_open + cfg.gap_extend * length
+        return cfg.gap * length
+
     if cfg.is_ends_free:
         if n == 0:  # s1 runs against nothing: skippable iff an s1 end is free
-            return 0 if (cfg.free_start_s1 or cfg.free_end_s1) \
-                else cfg.gap * m
-        return 0 if (cfg.free_start_s2 or cfg.free_end_s2) else cfg.gap * n
-    if cfg.is_affine:
-        return cfg.gap_open + cfg.gap_extend * (m + n)
-    return cfg.gap * (m + n)
+            return 0 if (cfg.free_start_s1 or cfg.free_end_s1) else run(m)
+        return 0 if (cfg.free_start_s2 or cfg.free_end_s2) else run(n)
+    return run(m + n)
 
 
 def score_fn(
@@ -893,12 +907,18 @@ def score_fn(
             interpret,
         )
         # the in-kernel maxes cover j in [1, m] / i in [1, n]; the j = 0 /
-        # i = 0 boundary cells are closed-form
+        # i = 0 boundary cells are closed-form (affine: one open+extend run)
         zr, zc, er, ec = ends
+
+        def bnd(length: int) -> int:
+            if cfg.is_affine:
+                return cfg.gap_open + cfg.gap_extend * length
+            return cfg.gap * length
+
         if er:  # H(n, 0)
-            res = jnp.maximum(res, jnp.int32(0 if zc else ns * cfg.gap))
+            res = jnp.maximum(res, jnp.int32(0 if zc else bnd(ns)))
         if ec:  # H(0, m)
-            res = jnp.maximum(res, jnp.int32(0 if zr else mb * cfg.gap))
+            res = jnp.maximum(res, jnp.int32(0 if zr else bnd(mb)))
         return res
 
     return fn

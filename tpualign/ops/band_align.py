@@ -111,6 +111,7 @@ def _strip_kernel_body(
     chunked: bool,
     zc: bool,
     capture: bool,
+    cap_min: int,
     *refs,
 ):
     """One strip of the band schedule, boundary row in/out.
@@ -341,11 +342,12 @@ def _strip_kernel_body(
         segs = [(0, t_head, True, False), (t_head, t_steps, False, False)]
     else:
         # captures fire at t = m_sel + phase: skip the capture select until
-        # the earliest possible hit.  The chunked driver captures at the
-        # static block width (m_sel == m); the capture-mode fills may carry
-        # a smaller dynamic m_sel (per-pair text lengths), so they keep the
-        # select live from the start
-        t_cap = min(t_steps, (m // unroll) * unroll) if chunked else 0
+        # the earliest possible hit.  ``cap_min`` is the SMALLEST capture
+        # column any call may carry (m for plain fills; the ragged final
+        # block / owner chip / shortest batch pair for the dynamic-m_sel
+        # drivers) — gating on the static width alone silently skipped the
+        # ragged captures (caught by the 400k semiglobal native check)
+        t_cap = min(t_steps, (cap_min // unroll) * unroll)
         cuts = sorted({0, min(t_head, t_cap), t_head, max(t_head, t_cap),
                        t_steps})
         segs = [
@@ -374,11 +376,11 @@ def _strip_kernel_body(
 
 
 def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked,
-                zc=False, capture=False):
+                zc=False, capture=False, cap_min=None):
     """Build the single-strip pallas_call (see ``_strip_kernel_body``)."""
     kernel = functools.partial(
         _strip_kernel_body, m, nr, t_steps, unroll, cfg, vdt, interpret,
-        chunked, zc, capture,
+        chunked, zc, capture, m if cap_min is None else cap_min,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -421,13 +423,13 @@ def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "nr", "cfg", "use_f32", "interpret", "chain_b",
-                     "zc", "capture"),
+                     "zc", "capture", "cap_min"),
 )
 def _strip_scan(
     s1p: jax.Array,  # (words,) packed text, or (K, words) when chain_b is
     #                  False (independent per-step pairs — the serving path)
     s2cm_all: jax.Array,  # (K * nr, LANES) strip chars
-    scs: jax.Array,  # (K, 4) [i0, klo, s2_first, k_hi] per strip
+    scs: jax.Array,  # (K, 5) [i0, klo, s2_first, k_hi, m_sel] per strip
     b0: jax.Array,  # (m + 3,) initial boundary row, or (K, m + 3)
     prof0s,  # (K, K_alpha + 1) per-strip top-row profiles, or None
     m: int,
@@ -438,6 +440,7 @@ def _strip_scan(
     chain_b: bool = True,
     zc: bool = False,
     capture: bool = False,
+    cap_min=None,  # smallest m_sel any strip carries (capture gating)
 ):
     """Scan the single-strip kernel over K strips; returns the stacked
     boundary rows (K, m+3), per-strip vmax (K,), per-slot max planes, and
@@ -451,7 +454,8 @@ def _strip_scan(
     unroll = 16
     t_steps = _round_up(m + p_max + 132, unroll)
     call = _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret,
-                       chunked=False, zc=zc, capture=capture)
+                       chunked=False, zc=zc, capture=capture,
+                       cap_min=cap_min)
     K = scs.shape[0]
     s2cm_strips = s2cm_all.reshape(K, nr, LANES)
 
@@ -595,6 +599,7 @@ def _fill(s1, s2, cfg, rows, *, bottom_align=False, interpret=False,
     bs, vmaxs, vplanes, caps = _strip_scan(
         s1p, s2cm_all, jnp.asarray(scs), b0, _prof0s(cfg, scs, use_f32),
         m_pad, rows, cfg, use_f32, interpret, zc=zero_col, capture=capture,
+        cap_min=m,
     )
     out = (
         np.asarray(bs),

@@ -122,10 +122,11 @@ def score_batch(
             (jnp.arange(m_cap + 3) * cfg.gap).astype(vdt),
             (batch, m_cap + 3),
         )
+    live_ms = [int(v) for v, e in zip(ms, empty) if not e]
     res = _strip_scan(
         s1p, s2cm, jnp.asarray(scs), b0, _prof0s(cfg, scs, use_f32),
         m_cap, rows, cfg, use_f32, interpret, chain_b=False, zc=zc,
-        capture=ec,
+        capture=ec, cap_min=max(1, min(live_ms, default=1)),
     )
     bs, vmaxs, caps = res[0], res[1], res[3]
     if cfg.is_local:

@@ -30,9 +30,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ensure_pair_modes, ScoringConfig
+import dataclasses
+
+from ..config import ScoringConfig
 from .pallas_diag import LANES, _round_up
-from .band import NEG_INF, PAD_CHAR, _wants_f32
+from .band import (
+    NEG_INF,
+    PAD_CHAR,
+    _empty_score,
+    _ends_flags,
+    _min0,
+    _sentinels,
+    _wants_f32,
+)
 from .band_align import _strip_call
 
 #: default column-block width (chars); B row (block+3 scalars) must sit in
@@ -79,14 +89,15 @@ def strip_geometry(ns: int, R: int):
     return scs_np, idx_np
 
 
-def pack_query(s_seq: jax.Array, scs_np, idx_np, K: int, rows: int):
+def pack_query(s_seq: jax.Array, scs_np, idx_np, K: int, rows: int,
+               pad_char: int = PAD_CHAR):
     """Device-side query packing for the strip scan: returns ``(scs,
     s2cm_all)`` — the per-strip scalars with the top live row's char gathered
     in, and the (K*rows, LANES) column-major strip char planes."""
     i0s = jnp.asarray(scs_np[:, 0].copy())
     scs = jnp.asarray(scs_np).at[:, 2].set(s_seq[i0s])
     idx = jnp.asarray(idx_np)
-    cm = jnp.where(idx >= 0, s_seq[jnp.maximum(idx, 0)], PAD_CHAR)
+    cm = jnp.where(idx >= 0, s_seq[jnp.maximum(idx, 0)], pad_char)
     s2cm_all = (
         cm.reshape(K, LANES, rows)
         .transpose(0, 2, 1)
@@ -95,10 +106,12 @@ def pack_query(s_seq: jax.Array, scs_np, idx_np, K: int, rows: int):
     return scs, s2cm_all
 
 
-def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt):
+def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt,
+               zero_col: bool = False):
     """Analytic left column H(i, 0) of every strip, in slot layout: the
     wavefront head the chunked kernel injects for the table's first column
-    block (dead slots of a bottom-aligned strip stay NEG)."""
+    block (dead slots of a bottom-aligned strip stay NEG).  ``zero_col``
+    selects the ends-free free-start boundary H(i, 0) = 0."""
     k_flat = (
         jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 1) * nr
         + jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 0)
@@ -106,7 +119,7 @@ def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt):
 
     def head0(sc):
         i0, klo = sc[0], sc[1]
-        if cfg.is_local:
+        if cfg.is_local or zero_col:
             return jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
         return jnp.where(
             k_flat >= klo,
@@ -120,7 +133,7 @@ def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "m", "n", "nr", "block", "cfg", "use_f32", "interpret"
+        "m", "n", "nr", "block", "cfg", "ends", "use_f32", "interpret"
     ),
 )
 def _chunked_scan(
@@ -132,11 +145,12 @@ def _chunked_scan(
     nr: int,
     block: int,
     cfg: ScoringConfig,
+    ends,  # kernel-coordinate (zr, zc, er, ec) ends-free flags
     use_f32: bool,
     interpret: bool,
 ):
     vdt = jnp.float32 if use_f32 else jnp.int32
-    scs = scs.at[:, 4].set(block)  # capture at each block's last column
+    zr, zc, er, ec = ends
     R = nr * LANES
     K = scs.shape[0]
     Q = -(-m // block)
@@ -146,47 +160,95 @@ def _chunked_scan(
     local = cfg.is_local
 
     s2cm_strips = s2cm_all.reshape(K, nr, LANES)
-    heads0 = heads_init(scs, nr, cfg, vdt)  # (K, nr, LANES)
+    heads0 = heads_init(scs, nr, cfg, vdt, zero_col=zc)  # (K, nr, LANES)
+    if cfg.has_matrix:
+        # per-strip top-row profiles matrix[ch][s2_first], built on device
+        # (s2_first is gathered in pack_query); slot K = decaying sentinel
+        kk = len(cfg.matrix)
+        mat = jnp.asarray(cfg.matrix, vdt)
+        prof0s = jnp.full((K, kk + 1), vdt(_min0(cfg)))
+        prof0s = prof0s.at[:, :kk].set(
+            mat[:, jnp.minimum(scs[:, 2], kk - 1)].T)
 
     t_steps = _round_up(block + p_max + 132, unroll)
+    # the final block's capture column is its (possibly ragged) true width
+    m_rem = m - (Q - 1) * block
     call = _strip_call(block, nr, t_steps, unroll, cfg, vdt, interpret,
-                       chunked=True)
+                       chunked=True, cap_min=min(block, m_rem))
     words_pb = block // 8
+    jj = jnp.arange(block + 3, dtype=jnp.int32)
 
     def block_step(carry, q):
         heads, score = carry
         j0 = q * block  # global column offset of this block's column 1
         s1p_q = jax.lax.dynamic_slice(s1p, (q * words_pb,), (words_pb,))
+        # the block's true last column index (the final block is ragged);
+        # the kernel captures the right edge there AND sentinels its text
+        # chars beyond it — equal to `block` on every non-final block, so
+        # inter-block coupling is unchanged
+        last = jnp.minimum(m - j0, block)
+        scs_q = scs.at[:, 4].set(last)
         # top row of the table for this block: H(0, j0 + jj)
-        jj = jnp.arange(block + 3, dtype=jnp.int32)
-        if local:
+        if local or zr:
             b0 = jnp.zeros((block + 3,), vdt)
         else:
             b0 = ((j0 + jj) * g).astype(vdt)  # b0[0] = corner H(0, j0)
 
         def strip_step(b, xs):
-            sc, s2cm_s, head_s = xs
+            if cfg.has_matrix:
+                sc, s2cm_s, head_s, p0 = xs
+                extra = (p0,)
+            else:
+                sc, s2cm_s, head_s = xs
+                extra = ()
             b_out, vmax, _, cap = call(
-                s1p_q, sc, b.astype(vdt), s2cm_s, head_s
+                s1p_q, sc, b.astype(vdt), s2cm_s, *extra, head_s
             )
             return b_out, (vmax[0, 0], cap)
 
-        b_fin, (vmaxs, caps) = jax.lax.scan(
-            strip_step, b0, (scs, s2cm_strips, heads)
-        )
+        xs = (scs_q, s2cm_strips, heads)
+        if cfg.has_matrix:
+            xs = xs + (prof0s,)
+        b_fin, (vmaxs, caps) = jax.lax.scan(strip_step, b0, xs)
         if local:  # running max over ALL blocks (never overwritten)
             score = jnp.maximum(score, jnp.max(vmaxs))
+        elif er:
+            # last-DP-row extraction: every block's true columns compete
+            # (b_fin[j] = H(n, j0 + j) for j = 1..last; [0] is recycled)
+            live = jnp.logical_and(jj >= 1, jj <= last)
+            score = jnp.maximum(
+                score, jnp.max(jnp.where(live, b_fin, vdt(NEG_INF)))
+            )
         else:
-            # the block's true last column index (the final block is ragged)
-            last = jnp.minimum(m - j0, block)
-            sc_here = b_fin[last]  # H(n, j0+last) — real only in final block
+            sc_here = b_fin[last]  # H(n, m) lands in the final block
             score = jnp.where(q == Q - 1, sc_here, score)
         return (caps, score), None
 
     init = (heads0, vdt(NEG_INF) if not local else vdt(0))
-    (heads, score), _ = jax.lax.scan(
+    (caps_fin, score), _ = jax.lax.scan(
         block_step, init, jnp.arange(Q, dtype=jnp.int32)
     )
+    if not local and ec:
+        # last-column extraction: the FINAL block's captures fired at the
+        # true column m — reduce over live slots (k in [klo, k_hi))
+        k_flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 1) * nr
+            + jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 0)
+        )
+
+        def strip_colmax(sc, cap):
+            live = jnp.logical_and(k_flat >= sc[1], k_flat < sc[3])
+            return jnp.max(jnp.where(live, cap, vdt(NEG_INF)))
+
+        score = jnp.maximum(
+            score, jnp.max(jax.vmap(strip_colmax)(scs, caps_fin))
+        )
+    if not local and (er or ec):
+        # closed-form boundary cells the in-table maxes never sweep
+        if er:  # H(n, 0)
+            score = jnp.maximum(score, vdt(0 if zc else n * g))
+        if ec:  # H(0, m)
+            score = jnp.maximum(score, vdt(0 if zr else m * g))
     # scores are integers (exactly representable under the f32 24-bit bound
     # checked by score_fn); return int32 regardless of the value dtype so the
     # public contract matches every other engine
@@ -204,16 +266,18 @@ def score_fn(
 ):
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)`` — the unbounded-boundary engine's analog of
-    ``band.score_fn`` (all packing runs on device inside the jit)."""
-    ensure_pair_modes(cfg, "band_chunked")
+    ``band.score_fn`` (all packing runs on device inside the jit).
+    Serves pair and matrix scoring (any K <= 16) in all four alignment
+    modes (round 5)."""
     if cfg.is_affine:  # before ANY scoring, degenerate lengths included
         raise ValueError(
             "affine gaps are outside the chunked band engine's envelope; "
             "use impl='xla' (or 'oracle')")
     if m == 0 or n == 0:
-        base = 0 if cfg.is_local else cfg.gap * (m + n)
+        base = _empty_score(m, n, cfg)
         return lambda s1, s2: jnp.int32(base)
-    if cfg.is_local and (cfg.mismatch > 0 or cfg.gap > 0):
+    if (cfg.is_local and not cfg.has_matrix
+            and (cfg.mismatch > 0 or cfg.gap > 0)):
         raise ValueError(
             "masked SW configs are outside the chunked engine's envelope"
         )
@@ -221,6 +285,12 @@ def score_fn(
         raise ValueError("sequence too long for the chunked band engine")
     swapped = n > m  # strips on the longer side shorten the per-block drain
     mb, ns = (n, m) if swapped else (m, n)
+    ends = _ends_flags(cfg, swapped)
+    kcfg = cfg
+    if swapped and cfg.has_matrix:
+        # the kernel scores matrix[text char][strip char]; swapping puts
+        # s2 on the text axis, so an asymmetric matrix must transpose
+        kcfg = dataclasses.replace(cfg, matrix=tuple(zip(*cfg.matrix)))
     block = int(min(block, _round_up(mb, 8)))
     if block % 8:
         raise ValueError("block width must be a multiple of 8")
@@ -228,6 +298,11 @@ def score_fn(
     K = -(-ns // R)
     Q = -(-mb // block)
     use_f32 = _wants_f32(cfg, mb, ns)
+    pad_char, post_text = _sentinels(kcfg)
+    # the packed pad chars only matter up to the final block's true end —
+    # beyond it the kernel's dynamic m_sel guard substitutes the sentinel —
+    # but keep them a non-code anyway; clamp into the 4-bit pack range
+    tx_pad = min(post_text, 15)
 
     scs_np, idx_np = strip_geometry(ns, R)
 
@@ -235,11 +310,9 @@ def score_fn(
         b_seq, s_seq = (s2, s1) if swapped else (s1, s2)
         b_seq = b_seq.astype(jnp.int32)
         s_seq = s_seq.astype(jnp.int32)
-        scs, s2cm_all = pack_query(s_seq, scs_np, idx_np, K, rows)
-        # text padded to whole blocks with the kernel's post-text sentinel
-        # 6, which matches no base code (0..4) and no PAD_CHAR row — pad
-        # COLUMNS must never score a match or SW's vmax would inflate
-        tx = jnp.full((Q * block,), 6, jnp.int32)
+        scs, s2cm_all = pack_query(s_seq, scs_np, idx_np, K, rows,
+                                   pad_char)
+        tx = jnp.full((Q * block,), tx_pad, jnp.int32)
         tx = jax.lax.dynamic_update_slice(tx, b_seq, (0,))
         shifts = jnp.arange(8, dtype=jnp.int32) * 4
         s1p = jnp.sum(
@@ -248,7 +321,8 @@ def score_fn(
             dtype=jnp.int32,
         )
         return _chunked_scan(
-            s1p, s2cm_all, scs, mb, ns, rows, block, cfg, use_f32, interpret
+            s1p, s2cm_all, scs, mb, ns, rows, block, kcfg, ends, use_f32,
+            interpret,
         )
 
     return fn
@@ -264,8 +338,8 @@ def score(
     interpret: bool = False,
 ) -> int:
     """Alignment score with NO boundary-axis cap (both sequences may exceed
-    ``band.MAX_BOUNDARY``; the limit is HBM).  NW any params, SW."""
-    ensure_pair_modes(cfg, "band_chunked")
+    ``band.MAX_BOUNDARY``; the limit is HBM).  NW any params, SW, matrix,
+    semiglobal/infix."""
     s1 = jnp.asarray(np.asarray(s1, np.int32))
     s2 = jnp.asarray(np.asarray(s2, np.int32))
     fn = score_fn(

@@ -125,8 +125,8 @@ def align_large(
     engine: EngineConfig = EngineConfig(),
 ) -> Tuple[int, str, str]:
     """Score plus aligned core strings for matrix / ends-free configs at
-    any size (linear-gap; affine matrix/ends-free cores exceed the current
-    envelope and raise)."""
+    any size — linear or affine gaps (round 5: affine rides the Gotoh
+    locate scan + Myers-Miller cores)."""
     from . import oracle
 
     s1 = np.asarray(s1, dtype=np.int8)
@@ -136,9 +136,33 @@ def align_large(
     if cells <= LEAF_CELLS:
         return oracle.traceback(s1, s2, cfg)
     if cfg.is_affine:
-        raise ValueError(
-            "affine matrix/ends-free alignment at this size is outside the "
-            "current envelope (score is served; use linear gaps to align)")
+        # affine compositions (round 5): Myers-Miller over the Gotoh scans
+        # — matrix subs ride the scans' 17x17 gather; ends-free modes
+        # reduce exactly like the linear path below, with the affine
+        # locate scan finding the end/start cells
+        from . import affine_align
+
+        if cfg.mode is AlignMode.GLOBAL:
+            return affine_align.align(s1, s2, cfg)
+        if cfg.mode is AlignMode.LOCAL:
+            return affine_align.align_local(s1, s2, cfg)
+        sc, ie, je = affine_align.locate_flex(s1, s2, cfg)
+        if ie == 0 or je == 0:
+            return sc, "", ""
+        sc2, pi, qj = affine_align.locate_flex(
+            s1[:je][::-1].copy(), s2[:ie][::-1].copy(), cfg, anchored=True
+        )
+        if sc2 != sc:  # pragma: no cover - would indicate a locate bug
+            raise AssertionError(
+                f"affine start-locate {sc2} != end-locate {sc}")
+        i0, j0 = ie - pi, je - qj
+        gcfg = cfg.with_mode(AlignMode.GLOBAL)
+        core_score, a1, a2 = affine_align.align(
+            s1[j0:je], s2[i0:ie], gcfg)
+        if core_score != sc:  # pragma: no cover
+            raise AssertionError(
+                f"affine core score {core_score} != locate score {sc}")
+        return sc, a1, a2
     device = _device_path_ok(cfg, m, n, engine)
     if cfg.mode is AlignMode.GLOBAL:
         # matrix-scored global alignment: the whole problem is the core
