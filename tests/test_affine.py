@@ -13,6 +13,9 @@ from tpualign.config import AlignMode, EngineConfig, ScoringConfig
 from tpualign.io.bdna import random_pair
 from tpualign.ops import oracle
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 NEG = -(1 << 40)
 
 

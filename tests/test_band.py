@@ -12,6 +12,9 @@ import pytest
 from tpualign.config import AlignMode, ScoringConfig
 from tpualign.ops import band, oracle
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 UNIT = ScoringConfig()
 SW = ScoringConfig(match=2, mismatch=-1, gap=-2, mode=AlignMode.LOCAL)
 

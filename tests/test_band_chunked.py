@@ -15,6 +15,9 @@ import pytest
 from tpualign.config import AlignMode, ScoringConfig
 from tpualign.ops import band_chunked, oracle
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 UNIT = ScoringConfig()
 GEN = ScoringConfig(match=2, mismatch=-3, gap=-4)
 SW = ScoringConfig(match=3, mismatch=-2, gap=-1, mode=AlignMode.LOCAL)

@@ -16,6 +16,9 @@ from tpualign import matrices
 from tpualign.config import AlignMode, ScoringConfig
 from tpualign.ops import band, oracle
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 MAT = matrices.dna(2, -1, -3)
 SG = AlignMode.SEMIGLOBAL
 IX = AlignMode.INFIX

@@ -18,6 +18,9 @@ from tpualign.ops import oracle
 from tpualign.parallel import band_strips
 from tpualign.parallel.mesh import make_mesh
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 UNIT = ScoringConfig()
 GEN = ScoringConfig(match=2, mismatch=-3, gap=-4)
 SW = ScoringConfig(match=3, mismatch=-2, gap=-1, mode=AlignMode.LOCAL)

@@ -15,6 +15,9 @@ from tpualign.ops import bitpal, oracle
 
 from conftest import reference_pair
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 UNIT = ScoringConfig()  # (1, 0, -1): the reference scheme
 
 

@@ -14,6 +14,9 @@ from tpualign.ops import band, bitpal, oracle, pallas_diag, xla
 from tpualign.parallel import bitpal_strips, strips
 from tpualign.parallel.mesh import make_mesh
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 def _random_cfg(rng) -> ScoringConfig:
     mode = AlignMode.LOCAL if rng.integers(2) else AlignMode.GLOBAL

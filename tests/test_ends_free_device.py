@@ -17,6 +17,9 @@ from tpualign.matrices import dna
 from tpualign.ops import band_align, ends_free, oracle
 from tpualign.utils import native
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 MAT = dna(2, -1, -3)
 SG, IX = AlignMode.SEMIGLOBAL, AlignMode.INFIX
 

@@ -35,15 +35,35 @@ def test_golden_nw_scores(name, want):
     assert xla.score(s1, s2) == want
 
 
+def _recorded_scoring(tsv: str):
+    """The scoring config a committed sweep ran (from the sibling bench
+    JSON's meta, recorded by ``cli.py bench`` since round 5)."""
+    import json
+
+    path = os.path.join(RESULTS, tsv.replace(".tsv", ".json"))
+    if not os.path.exists(path):
+        return None
+    return json.load(open(path)).get("meta", {}).get("scoring")
+
+
 @pytest.mark.parametrize(
     "tsv", ["sizes-nw-v5e1.tsv", "sizes-nw-band-v5e1.tsv"]
 )
 def test_recorded_bench_scores_match_reference_pins(tsv):
-    """Every NW bench row committed under results/ must carry the score the
-    reference binary printed for that pair."""
+    """NW bench rows committed under results/ must carry the score the
+    reference binary printed for that pair — when the sweep ran the
+    reference's unit scoring.  Non-unit sweeps (e.g. the band 2/-3/-4
+    rows, which the bench native-gates at run time) must at least record
+    their config so the archive stays self-describing."""
     path = os.path.join(RESULTS, tsv)
     if not os.path.exists(path):
         pytest.skip(f"{tsv} not present")
+    sc = _recorded_scoring(tsv)
+    unit = dict(match=1, mismatch=0, gap=-1, mode="nw", matrix=None,
+                gap_open=None, gap_extend=None)
+    if sc != unit:
+        assert sc is not None, f"{tsv}: sweep config not recorded"
+        pytest.skip(f"{tsv} ran {sc}, not the pinned unit config")
     rows = list(csv.DictReader(open(path), delimiter="\t"))
     assert rows, "empty results file"
     checked = 0
@@ -82,6 +102,12 @@ def test_recorded_sw_bench_scores_match_pins():
     path = os.path.join(RESULTS, "sizes-sw-v5e1.tsv")
     if not os.path.exists(path):
         pytest.skip("sizes-sw-v5e1.tsv not present")
+    sc = _recorded_scoring("sizes-sw-v5e1.tsv")
+    pinned = dict(match=2, mismatch=-1, gap=-2, mode="sw", matrix=None,
+                  gap_open=None, gap_extend=None)
+    if sc != pinned:
+        assert sc is not None, "sw sweep config not recorded"
+        pytest.skip(f"sw sweep ran {sc}, not the pinned 2/-1/-2 config")
     rows = list(csv.DictReader(open(path), delimiter="\t"))
     checked = 0
     for row in rows:

@@ -12,6 +12,9 @@ from tpualign.config import ScoringConfig
 from tpualign.io.bdna import BASES, random_pair
 from tpualign.ops import hirschberg, oracle
 
+# interpreted-Pallas heavyweight: runs in the full tier only (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 UNIT = ScoringConfig()
 
 

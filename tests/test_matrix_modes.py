@@ -189,11 +189,13 @@ def test_engine_guards():
     s1 = rng.integers(1, 5, 20).astype(np.int8)
     s2 = rng.integers(1, 5, 20).astype(np.int8)
     for cfg in NEW_CFGS[:4]:
-        ensure = pytest.raises(ValueError)
-        with ensure:
+        with pytest.raises(ValueError):
             pallas_diag.score(s1, s2, cfg, interpret=True)
-        with ensure:
-            band_chunked.score(s1, s2, cfg, interpret=True)
+        # band_chunked SERVES the round-4 shapes since round 5
+        if not cfg.is_affine:
+            got = band_chunked.score(s1, s2, cfg, rows=2, block=16,
+                                     interpret=True)
+            assert got == oracle.score(s1, s2, cfg)
         assert not band.supports(cfg) or True  # supports() is the gate
         with pytest.raises(ValueError):
             ensure_pair_modes(cfg, "x")

@@ -274,8 +274,19 @@ def cmd_bench(args) -> int:
     if args.json:
         import jax
 
-        write_json(args.json, results, {"backend": jax.default_backend(),
-                                        "impl": args.impl, "runs": args.runs})
+        sc = _scoring(args)
+        write_json(args.json, results, {
+            "backend": jax.default_backend(),
+            "impl": args.impl, "runs": args.runs,
+            # record the scoring config so downstream consumers (e.g. the
+            # golden-pin tests) know WHICH problem these scores belong to
+            "scoring": {
+                "match": sc.match, "mismatch": sc.mismatch, "gap": sc.gap,
+                "mode": sc.mode.value,
+                "matrix": getattr(args, "matrix", None) or None,
+                "gap_open": sc.gap_open, "gap_extend": sc.gap_extend,
+            },
+        })
     return 1 if bad else 0
 
 
