@@ -179,11 +179,15 @@ def build(T, ablate):
 
 
 def wall(fn, x, reps=5):
-    fn(x).block_until_ready()
+    # force a full host read every sample: through the axon relay a bare
+    # block_until_ready on an unread buffer returns ~immediately (deferred
+    # execution) and the r4 queue's op account read 0.0 cyc/step for every
+    # group because of it
+    np.asarray(fn(x))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn(x).block_until_ready()
+        np.asarray(fn(x))
         best = min(best, time.perf_counter() - t0)
     return best
 
