@@ -152,8 +152,10 @@ def test_api_dispatch_and_rejections():
         pallas_diag.score(s1, s2, cfg, interpret=True)
     from tpualign.ops import band_chunked
 
-    with pytest.raises(ValueError):
-        band_chunked.score(s1, s2, cfg, interpret=True)
+    # the chunked tier serves affine since round 5 (E-column block
+    # coupling + F boundary rows through the strip scan)
+    got = band_chunked.score(s1, s2, cfg, rows=2, block=24, interpret=True)
+    assert got == oracle.score(s1, s2, cfg)
     from tpualign.ops import bitpal
 
     assert bitpal.family(cfg) is None

@@ -78,6 +78,29 @@ def test_chunked_modes(mode, mat, m, n):
     assert got == oracle.score(s1, s2, cfg)
 
 
+@pytest.mark.parametrize(
+    "mode", [AlignMode.GLOBAL, AlignMode.LOCAL, AlignMode.SEMIGLOBAL,
+             AlignMode.INFIX], ids=["nw", "sw", "sg", "infix"])
+@pytest.mark.parametrize("mat", [False, True], ids=["pair", "mat"])
+def test_chunked_affine_modes(mode, mat):
+    # round 5: Gotoh gaps across block boundaries — the E (left-gap) chain
+    # crosses blocks through captured/injected E columns, the F (up-gap)
+    # chain crosses strips through a second SMEM boundary row
+    from tpualign import matrices
+
+    kw = dict(mode=mode, gap_open=-5, gap_extend=-2, gap=-2)
+    if mat:
+        kw["matrix"] = matrices.dna(2, -1, -3)
+    else:
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    for m, n in ((300, 260), (260, 300)):
+        s1, s2 = random_pair(m, n, m + n, lo=1)
+        got = band_chunked.score(s1, s2, cfg, rows=2, block=96,
+                                 interpret=True)
+        assert got == oracle.score(s1, s2, cfg), (mode, mat, m, n)
+
+
 def test_sw_max_in_middle_block():
     # the SW running max must survive blocks after the one that set it:
     # plant a strong match region in an early block, then noise

@@ -56,7 +56,7 @@ def test_band_small(name):
     assert got == oracle.score(s1, s2, cfg)
 
 
-@pytest.mark.parametrize("name", ["sw", "mat-sg"])
+@pytest.mark.parametrize("name", ["sw", "mat-sg", "affine-sg"])
 def test_band_chunked_small(name):
     cfg = cfg_of(name)
     s1, s2 = pair(150, 40, 7)

@@ -176,9 +176,10 @@ def align_score(
         try:
             return band.score(s1, s2, scoring, interpret=engine.interpret)
         except ValueError:  # outside the boundary-row envelope
-            # (the chunked tier serves matrix/ends-free too since round 5;
-            # affine still falls to the scan)
-            impl = "xla" if scoring.is_affine else "band-chunked"
+            # (the chunked tier serves matrix/ends-free AND affine since
+            # round 5 — the 48gb/64gb affine boundaries that busted the
+            # dual-SMEM-row cap no longer fall to the 0.5-GCUPS scan)
+            impl = "band-chunked"
     if impl == "band-chunked":
         from .ops import band_chunked
 
@@ -189,6 +190,7 @@ def align_score(
         except ValueError:  # masked SW / beyond the HBM guard
             impl = "xla" if (
                 scoring.has_matrix or scoring.is_ends_free
+                or scoring.is_affine
             ) else "pallas"
     if impl == "xla":
         from .ops import xla

@@ -141,27 +141,50 @@ def _strip_kernel_body(
     head (the ends-free last-column extraction, round 5).
     """
     has_matrix = cfg.has_matrix
+    affine = cfg.is_affine
     K = len(cfg.matrix) if has_matrix else 0
-    i_in = 4
+    i_in = 3
     refs_l = list(refs)
-    s1_ref, sc_ref, b_in_ref, s2cm_ref = refs_l[:4]
+    s1_ref, sc_ref, b_in_ref = refs_l[:3]
+    bf_in_ref = None
+    if affine:  # F boundary row in (the vertical gap chain crosses strips)
+        bf_in_ref = refs_l[i_in]
+        i_in += 1
+    s2cm_ref = refs_l[i_in]
+    i_in += 1
     prof0_ref = None
     if has_matrix:
         prof0_ref = refs_l[i_in]
         i_in += 1
-    head_ref = None
+    head_ref = heade_ref = None
     if chunked:
         head_ref = refs_l[i_in]
         i_in += 1
-    b_ref, vmax_ref, v_ref = refs_l[i_in:i_in + 3]
-    i_in += 3
-    cap_ref = None
+        if affine:  # E head column (the horizontal chain crosses blocks)
+            heade_ref = refs_l[i_in]
+            i_in += 1
+    b_ref = refs_l[i_in]
+    i_in += 1
+    bf_ref = None
+    if affine:
+        bf_ref = refs_l[i_in]
+        i_in += 1
+    vmax_ref, v_ref = refs_l[i_in:i_in + 2]
+    i_in += 2
+    cap_ref = cape_ref = None
     if chunked or capture:
         cap_ref = refs_l[i_in]
         i_in += 1
+        if affine and chunked:
+            cape_ref = refs_l[i_in]
+            i_in += 1
     (a0_ref, a0s_ref, a1_ref, a1s_ref, w_ref, pendv_ref,
      pendw_ref) = refs_l[i_in:i_in + 7]
     i_in += 7
+    e_ref = fs_ref = pendf_ref = None
+    if affine:
+        e_ref, fs_ref, pendf_ref = refs_l[i_in:i_in + 3]
+        i_in += 3
     prof_refs = refs_l[i_in:i_in + K] if has_matrix else []
     dma_sem = refs_l[i_in + K]
     if not has_matrix:
@@ -171,6 +194,10 @@ def _strip_kernel_body(
         min0 = vdt(_min0(cfg))
     _, post_text = _sentinels(cfg)
     g = vdt(cfg.gap)
+    if affine:
+        open_ = vdt(cfg.gap_open)
+        ext = vdt(cfg.gap_extend)
+        g = ext  # analytic head spacing: H(i, 0) = open + i*ext
     local = cfg.is_local
     phase, k_flat = _phase_grid(nr)
     lane_is0 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
@@ -182,22 +209,28 @@ def _strip_kernel_body(
     s2_first = sc_ref[2]
     k_hi = sc_ref[3]  # one past the last live slot (rows beyond the query)
     m_sel = sc_ref[4]  # capture column (m / block width / per-pair text len)
-    i0g = vdt(0) if (local or zc) else i0.astype(vdt) * g
+    if local or zc:
+        i0g = vdt(0)
+    elif affine:
+        i0g = jnp.where(i0 == 0, vdt(0),
+                        open_ + i0.astype(vdt) * ext)
+    else:
+        i0g = i0.astype(vdt) * g
 
     # head values: H(i0 + 1 + (k - klo), j0); dead slots (k < klo) stay NEG.
     # The chunked driver carries the true left column in slot layout; the
     # single-table fills use the analytic H(i, 0) boundary (0 under the
-    # local / free-start-column forms)
+    # local / free-start-column forms; open + i*ext under affine — the
+    # shared ``g = ext`` spacing plus the open term below)
     if chunked:
         head_vals = head_ref[:]
     elif local or zc:
         head_vals = jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
     else:
-        head_vals = jnp.where(
-            k_flat >= klo,
-            (i0 + 1 - klo).astype(vdt) * g + k_flat.astype(vdt) * g,
-            vdt(NEG_INF),
-        )
+        head_base = (i0 + 1 - klo).astype(vdt) * g + k_flat.astype(vdt) * g
+        if affine:
+            head_base = head_base + open_
+        head_vals = jnp.where(k_flat >= klo, head_base, vdt(NEG_INF))
     cand_slot = k_flat == klo  # the top live row consumes the boundary
     # the top live row runs staggered: at step t it computes column
     # j = t - phase(klo), so its boundary reads are B[j-1], B[j]
@@ -206,6 +239,8 @@ def _strip_kernel_body(
     if interpret:  # no DMA emulation needed: plain element copy
         def binit(j, _):
             b_ref[j] = b_in_ref[j]
+            if affine:
+                bf_ref[j] = bf_in_ref[j]
             return 0
 
         jax.lax.fori_loop(0, m + 3, binit, 0, unroll=False)
@@ -213,6 +248,10 @@ def _strip_kernel_body(
         cp = pltpu.make_async_copy(b_in_ref, b_ref, dma_sem)
         cp.start()
         cp.wait()
+        if affine:
+            cpf = pltpu.make_async_copy(bf_in_ref, bf_ref, dma_sem)
+            cpf.start()
+            cpf.wait()
     a0_ref[:] = neg
     a0s_ref[:] = neg
     a1_ref[:] = neg
@@ -220,10 +259,24 @@ def _strip_kernel_body(
     w_ref[:] = jnp.zeros((nr, LANES), jnp.int32)
     pendv_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
     pendw_ref[:] = jnp.zeros((8, LANES), jnp.int32)
+    if affine:
+        e_ref[:] = neg  # E decays until real H values flow in
+        fs_ref[:] = neg  # shifted F plane, H's shift/ring discipline
+        pendf_ref[:] = jnp.full((8, LANES), NEG_INF, vdt)
+        # F(i0, 0): the column-0 up-gap chain — equals H(i0, 0) globally,
+        # converges to open + ext under a zero column; NEG on strip 0
+        if local:
+            bf0 = vdt(NEG_INF)
+        elif zc:
+            bf0 = jnp.where(i0 == 0, vdt(NEG_INF), open_ + ext)
+        else:
+            bf0 = jnp.where(i0 == 0, vdt(NEG_INF), i0g)
     if local:
         v_ref[:] = jnp.zeros((nr, LANES), vdt)
     if chunked or capture:
         cap_ref[:] = neg
+        if affine and chunked:
+            cape_ref[:] = neg
 
     s2cm = s2cm_ref[:]
     if has_matrix:
@@ -237,7 +290,7 @@ def _strip_kernel_body(
                 p = jnp.where(s2cm == b, vdt(cfg.matrix[w][b]), p)
             prof_refs[w][:] = p
 
-    def substep(t, u, bjm1, bj, a_ref, as_ref, oa_ref, oas_ref, ramp,
+    def substep(t, u, bjm1, bj, bjf, a_ref, as_ref, oa_ref, oas_ref, ramp,
                 cap=False):
         idx = jnp.clip(t - 1, 0, m - 1)
         ch = (s1_ref[idx >> 3] >> ((idx & 7) << 2)) & 15
@@ -266,19 +319,42 @@ def _strip_kernel_body(
             sub0 = prof0_ref[ch0]
         else:
             sub0 = jnp.where(s2_first == ch0, match, mismatch)
-        cand = jnp.maximum(bjm1 + sub0, bj + g)
         # live window only: outside it the boundary reads are clipped or
         # stale and would fabricate values above the top row's true max,
         # corrupting the per-slot max plane the SW locate pass reads
-        cand = jnp.where((j_top >= 1) & (j_top <= m), cand, vdt(NEG_INF))
-        new = jnp.maximum(
-            oas_ref[:] + sub, jnp.maximum(a_ref[:], as_ref[:]) + g
-        )
+        win = (j_top >= 1) & (j_top <= m)
+        if affine:
+            # Gotoh: E (left gap) needs no shift — the left cell is this
+            # slot one step earlier; F (up gap) rides H's exact shift/ring
+            # discipline through fs_ref.  The top live row's F closes or
+            # extends from BOTH boundary rows (H and F of row i0)
+            e_new = jnp.maximum(a_ref[:] + open_, e_ref[:]) + ext
+            f_new = jnp.maximum(as_ref[:] + open_, fs_ref[:]) + ext
+            f_cand = jnp.maximum(bj + open_, bjf) + ext
+            f_new = jnp.maximum(
+                f_new,
+                jnp.where(cand_slot & win, f_cand, vdt(NEG_INF)),
+            )
+            new = jnp.maximum(
+                oas_ref[:] + sub, jnp.maximum(e_new, f_new)
+            )
+            cand = jnp.where(win, bjm1 + sub0, vdt(NEG_INF))
+        else:
+            cand = jnp.maximum(bjm1 + sub0, bj + g)
+            cand = jnp.where(win, cand, vdt(NEG_INF))
+            new = jnp.maximum(
+                oas_ref[:] + sub, jnp.maximum(a_ref[:], as_ref[:]) + g
+            )
         new = jnp.maximum(new, jnp.where(cand_slot, cand, vdt(NEG_INF)))
         if local:
             new = jnp.maximum(new, vdt(0))
         if ramp:
             new = jnp.where(phase == t, head_vals, new)
+            if affine:
+                # E state at the injected head column: NEG on a true
+                # table edge, the carried E column in chunked mode
+                e_head = heade_ref[:] if chunked else neg
+                e_new = jnp.where(phase == t, e_head, e_new)
         if local:
             # fully masked fold: the locate pass reads PER-SLOT maxes, so
             # even decayed-but-positive pad/dead/pre-start values (which the
@@ -297,7 +373,10 @@ def _strip_kernel_body(
             # (the block width for the chunked driver, the full text width
             # for the ends-free locate fills, the per-pair text length for
             # the batched serving path)
-            cap_ref[:] = jnp.where(t - phase == m_sel, new, cap_ref[:])
+            hit = t - phase == m_sel
+            cap_ref[:] = jnp.where(hit, new, cap_ref[:])
+            if affine and chunked:  # the E chain crosses the block edge
+                cape_ref[:] = jnp.where(hit, e_new, cape_ref[:])
         oa_ref[:] = new
         v_row0 = jnp.where(
             lane_is0,
@@ -308,6 +387,17 @@ def _strip_kernel_body(
         tail = new[nr - 1 : nr, :]
         pendv_ref[u % 8 : u % 8 + 1, :] = _lane_shift(tail)
         pendw_ref[u % 8 : u % 8 + 1, :] = _lane_shift(w_new[nr - 1 : nr, :])
+        if affine:
+            e_ref[:] = e_new
+            fv_row0 = jnp.where(
+                lane_is0,
+                vdt(NEG_INF),
+                pendf_ref[(u - 2) % 8 : (u - 2) % 8 + 1, :],
+            )
+            fs_ref[:] = _shift1(fv_row0, f_new, nr)
+            pendf_ref[u % 8 : u % 8 + 1, :] = _lane_shift(
+                f_new[nr - 1 : nr, :]
+            )
 
     def block_impl(tt, c, ramp, cap=False):
         t0 = tt * unroll
@@ -316,6 +406,7 @@ def _strip_kernel_body(
         # phase span, so per-block early reads stay safe (callers keep
         # live counts >= LANES)
         bv = []
+        bfv = []
         for u in range(-1, unroll):
             jt = t0 + u - p_klo
             b = b_ref[jnp.clip(jt, 0, m)]
@@ -323,18 +414,28 @@ def _strip_kernel_body(
                 bv.append(b)
             else:
                 bv.append(jnp.where(jt == 0, i0g, b))
+            if affine:
+                bf = bf_ref[jnp.clip(jt, 0, m)]
+                if not chunked:
+                    bf = jnp.where(jt == 0, bf0, bf)
+                bfv.append(bf)
+            else:
+                bfv.append(None)
         for u in range(unroll):
             t = t0 + u
             refs = (a0_ref, a0s_ref, a1_ref, a1s_ref)
             if u % 2 == 1:
                 refs = (a1_ref, a1s_ref, a0_ref, a0s_ref)
-            substep(t, u, bv[u], bv[u + 1], *refs, ramp, cap=cap)
+            substep(t, u, bv[u], bv[u + 1], bfv[u + 1], *refs, ramp,
+                    cap=cap)
             if u % 8 == 7:
                 for uu in range(u - 7, u + 1):
                     j_out = t0 + uu - p_max
                     ok = jnp.logical_and(j_out >= 1, j_out <= m)
                     idx = jnp.where(ok, j_out, m + 2)
                     b_ref[idx] = pendv_ref[uu % 8, 0]
+                    if affine:
+                        bf_ref[idx] = pendf_ref[uu % 8, 0]
         return c
 
     t_head = min(t_steps, _round_up(p_max + 2, unroll))
@@ -367,7 +468,16 @@ def _strip_kernel_body(
         b_ref[0] = head_ref[nr - 1, LANES - 1]  # slot R-1
     else:
         nxt = i0 + (nr * LANES - klo)
-        b_ref[0] = vdt(0) if (local or zc) else nxt.astype(vdt) * g
+        if local or zc:
+            b_ref[0] = vdt(0)
+        elif affine:
+            b_ref[0] = open_ + nxt.astype(vdt) * ext
+        else:
+            b_ref[0] = nxt.astype(vdt) * g
+    if affine:
+        # BF[0] is never read (the top row's F candidate is masked at
+        # j_top = 0); keep it a sane sentinel
+        bf_ref[0] = vdt(NEG_INF)
     if local:
         vmax_ref[0, 0] = jnp.max(v_ref[:])
     else:
@@ -384,20 +494,33 @@ def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outs = [
-        jax.ShapeDtypeStruct((m + 3,), vdt),
+    affine = cfg.is_affine
+    outs = [jax.ShapeDtypeStruct((m + 3,), vdt)]
+    out_specs = [smem]
+    if affine:
+        outs.append(jax.ShapeDtypeStruct((m + 3,), vdt))  # F boundary row
+        out_specs.append(smem)
+    outs += [
         jax.ShapeDtypeStruct((1, 1), vdt),
         jax.ShapeDtypeStruct((nr, LANES), vdt),
     ]
-    ins = [smem, smem, vmem, vmem]
-    out_specs = [smem, smem, vmem]
+    out_specs += [smem, vmem]
+    ins = [smem, smem, vmem]
+    if affine:
+        ins.append(vmem)  # F boundary row in
+    ins.append(vmem)  # s2cm
     if cfg.has_matrix:
         ins.append(smem)  # prof0: top-live-row profile (K+1,)
     if chunked:
         ins.append(vmem)  # head column plane
+        if affine:
+            ins.append(vmem)  # E head column plane
     if chunked or capture:
         outs.append(jax.ShapeDtypeStruct((nr, LANES), vdt))  # capture
         out_specs.append(vmem)
+        if affine and chunked:
+            outs.append(jax.ShapeDtypeStruct((nr, LANES), vdt))  # E capture
+            out_specs.append(vmem)
     K = len(cfg.matrix) if cfg.has_matrix else 0
     return pl.pallas_call(
         kernel,
@@ -413,6 +536,8 @@ def _strip_call(m, nr, t_steps, unroll, cfg, vdt, interpret, *, chunked,
                 pltpu.VMEM((8, LANES), vdt),
                 pltpu.VMEM((8, LANES), jnp.int32),
             ]
+            + ([pltpu.VMEM((nr, LANES), vdt), pltpu.VMEM((nr, LANES), vdt),
+                pltpu.VMEM((8, LANES), vdt)] if affine else [])
             + [pltpu.VMEM((nr, LANES), vdt) for _ in range(K)]
             + [pltpu.SemaphoreType.DMA]
         ),
@@ -449,6 +574,12 @@ def _strip_scan(
     ``chain_b=True`` carries the boundary row strip-to-strip (one DP table,
     the alignment fills); ``chain_b=False`` feeds each step its own text and
     boundary row (independent pairs — the batched serving path)."""
+    if cfg.is_affine:
+        # the scan-of-strips unpack carries (b, vmax, vplane[, cap]) —
+        # affine's extra F row rides only the chunked driver for now
+        raise ValueError(
+            "affine configs are outside the strip-scan fills; the "
+            "alignment paths gate them to affine_align")
     vdt = jnp.float32 if use_f32 else jnp.int32
     p_max = (nr - 1) + (LANES - 1) * (nr + 2)
     unroll = 16

@@ -111,7 +111,8 @@ def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt,
     """Analytic left column H(i, 0) of every strip, in slot layout: the
     wavefront head the chunked kernel injects for the table's first column
     block (dead slots of a bottom-aligned strip stay NEG).  ``zero_col``
-    selects the ends-free free-start boundary H(i, 0) = 0."""
+    selects the ends-free free-start boundary H(i, 0) = 0; affine configs
+    charge one open + i*extend run."""
     k_flat = (
         jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 1) * nr
         + jax.lax.broadcasted_iota(jnp.int32, (nr, LANES), 0)
@@ -121,11 +122,12 @@ def heads_init(scs: jax.Array, nr: int, cfg: ScoringConfig, vdt,
         i0, klo = sc[0], sc[1]
         if cfg.is_local or zero_col:
             return jnp.where(k_flat >= klo, vdt(0), vdt(NEG_INF))
-        return jnp.where(
-            k_flat >= klo,
-            ((i0 + 1 - klo) + k_flat).astype(vdt) * vdt(cfg.gap),
-            vdt(NEG_INF),
-        )
+        i = (i0 + 1 - klo) + k_flat  # the slot's DP row
+        if cfg.is_affine:
+            vals = vdt(cfg.gap_open) + i.astype(vdt) * vdt(cfg.gap_extend)
+        else:
+            vals = i.astype(vdt) * vdt(cfg.gap)
+        return jnp.where(k_flat >= klo, vals, vdt(NEG_INF))
 
     return jax.vmap(head0)(scs)
 
@@ -151,6 +153,7 @@ def _chunked_scan(
 ):
     vdt = jnp.float32 if use_f32 else jnp.int32
     zr, zc, er, ec = ends
+    affine = cfg.is_affine
     R = nr * LANES
     K = scs.shape[0]
     Q = -(-m // block)
@@ -159,8 +162,14 @@ def _chunked_scan(
     g = cfg.gap
     local = cfg.is_local
 
+    def bnd(length):  # closed-form boundary run cost
+        if affine:
+            return cfg.gap_open + cfg.gap_extend * length
+        return cfg.gap * length
+
     s2cm_strips = s2cm_all.reshape(K, nr, LANES)
     heads0 = heads_init(scs, nr, cfg, vdt, zero_col=zc)  # (K, nr, LANES)
+    headse0 = jnp.full((K, nr, LANES), vdt(NEG_INF))  # E at a true edge
     if cfg.has_matrix:
         # per-strip top-row profiles matrix[ch][s2_first], built on device
         # (s2_first is gathered in pack_query); slot K = decaying sentinel
@@ -179,7 +188,7 @@ def _chunked_scan(
     jj = jnp.arange(block + 3, dtype=jnp.int32)
 
     def block_step(carry, q):
-        heads, score = carry
+        heads, heads_e, score = carry
         j0 = q * block  # global column offset of this block's column 1
         s1p_q = jax.lax.dynamic_slice(s1p, (q * words_pb,), (words_pb,))
         # the block's true last column index (the final block is ragged);
@@ -191,25 +200,45 @@ def _chunked_scan(
         # top row of the table for this block: H(0, j0 + jj)
         if local or zr:
             b0 = jnp.zeros((block + 3,), vdt)
+        elif affine:
+            jg = j0 + jj
+            b0 = jnp.where(
+                jg == 0, vdt(0),
+                vdt(cfg.gap_open) + jg.astype(vdt) * vdt(cfg.gap_extend))
         else:
             b0 = ((j0 + jj) * g).astype(vdt)  # b0[0] = corner H(0, j0)
+        bf0 = jnp.full((block + 3,), vdt(NEG_INF))  # F(0, :) = -inf
 
-        def strip_step(b, xs):
+        def strip_step(bpair, xs):
+            if affine:
+                b, bf = bpair
+            else:
+                b = bpair
             if cfg.has_matrix:
-                sc, s2cm_s, head_s, p0 = xs
+                sc, s2cm_s, head_s, head_es, p0 = xs
                 extra = (p0,)
             else:
-                sc, s2cm_s, head_s = xs
+                sc, s2cm_s, head_s, head_es = xs
                 extra = ()
+            if affine:
+                outs = call(
+                    s1p_q, sc, b.astype(vdt), bf.astype(vdt), s2cm_s,
+                    *extra, head_s, head_es,
+                )
+                b_out, bf_out, vmax, _, cap, cape = outs
+                return (b_out, bf_out), (vmax[0, 0], cap, cape)
             b_out, vmax, _, cap = call(
                 s1p_q, sc, b.astype(vdt), s2cm_s, *extra, head_s
             )
-            return b_out, (vmax[0, 0], cap)
+            return b_out, (vmax[0, 0], cap, cap)
 
-        xs = (scs_q, s2cm_strips, heads)
+        xs = (scs_q, s2cm_strips, heads, heads_e)
         if cfg.has_matrix:
             xs = xs + (prof0s,)
-        b_fin, (vmaxs, caps) = jax.lax.scan(strip_step, b0, xs)
+        carry0 = (b0, bf0) if affine else b0
+        bpair_fin, (vmaxs, caps, capes) = jax.lax.scan(
+            strip_step, carry0, xs)
+        b_fin = bpair_fin[0] if affine else bpair_fin
         if local:  # running max over ALL blocks (never overwritten)
             score = jnp.maximum(score, jnp.max(vmaxs))
         elif er:
@@ -222,10 +251,10 @@ def _chunked_scan(
         else:
             sc_here = b_fin[last]  # H(n, m) lands in the final block
             score = jnp.where(q == Q - 1, sc_here, score)
-        return (caps, score), None
+        return (caps, capes, score), None
 
-    init = (heads0, vdt(NEG_INF) if not local else vdt(0))
-    (caps_fin, score), _ = jax.lax.scan(
+    init = (heads0, headse0, vdt(NEG_INF) if not local else vdt(0))
+    (caps_fin, _, score), _ = jax.lax.scan(
         block_step, init, jnp.arange(Q, dtype=jnp.int32)
     )
     if not local and ec:
@@ -246,9 +275,9 @@ def _chunked_scan(
     if not local and (er or ec):
         # closed-form boundary cells the in-table maxes never sweep
         if er:  # H(n, 0)
-            score = jnp.maximum(score, vdt(0 if zc else n * g))
+            score = jnp.maximum(score, vdt(0 if zc else bnd(n)))
         if ec:  # H(0, m)
-            score = jnp.maximum(score, vdt(0 if zr else m * g))
+            score = jnp.maximum(score, vdt(0 if zr else bnd(m)))
     # scores are integers (exactly representable under the f32 24-bit bound
     # checked by score_fn); return int32 regardless of the value dtype so the
     # public contract matches every other engine
@@ -267,17 +296,13 @@ def score_fn(
     """Jittable ``(s1, s2) -> score`` for fixed lengths ``m = len(s1)``,
     ``n = len(s2)`` — the unbounded-boundary engine's analog of
     ``band.score_fn`` (all packing runs on device inside the jit).
-    Serves pair and matrix scoring (any K <= 16) in all four alignment
-    modes (round 5)."""
-    if cfg.is_affine:  # before ANY scoring, degenerate lengths included
-        raise ValueError(
-            "affine gaps are outside the chunked band engine's envelope; "
-            "use impl='xla' (or 'oracle')")
+    Serves pair and matrix scoring (any K <= 16), affine (Gotoh) gaps,
+    in all four alignment modes (round 5)."""
     if m == 0 or n == 0:
         base = _empty_score(m, n, cfg)
         return lambda s1, s2: jnp.int32(base)
     if (cfg.is_local and not cfg.has_matrix
-            and (cfg.mismatch > 0 or cfg.gap > 0)):
+            and (cfg.mismatch > 0 or (cfg.gap > 0 and not cfg.is_affine))):
         raise ValueError(
             "masked SW configs are outside the chunked engine's envelope"
         )
@@ -285,6 +310,12 @@ def score_fn(
         raise ValueError("sequence too long for the chunked band engine")
     swapped = n > m  # strips on the longer side shorten the per-block drain
     mb, ns = (n, m) if swapped else (m, n)
+    if cfg.is_affine:
+        # affine carries a second SMEM boundary row (F): the per-block
+        # width obeys the same dual-row budget as band.MAX_BOUNDARY_AFFINE
+        from .band import MAX_BOUNDARY_AFFINE
+
+        block = min(block, MAX_BOUNDARY_AFFINE)
     ends = _ends_flags(cfg, swapped)
     kcfg = cfg
     if swapped and cfg.has_matrix:
