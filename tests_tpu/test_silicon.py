@@ -230,7 +230,66 @@ def test_matrix_and_ends_free_on_chip():
         ScoringConfig(match=2, mismatch=-1, gap=-2, mode=AlignMode.INFIX),
         ScoringConfig(gap=-2, matrix=MAT, mode=AlignMode.SEMIGLOBAL),
         ScoringConfig(gap=-2, matrix=MAT, gap_open=-5, gap_extend=-2),
+        # round 5: affine ends-free boundary-F forms
+        ScoringConfig(match=2, mismatch=-1, gap=-2, gap_open=-5,
+                      gap_extend=-2, mode=AlignMode.SEMIGLOBAL),
     ):
         want = oracle.score(s1, s2, cfg)
         assert band.score(s1, s2, cfg) == want, cfg
         assert align_score(s1, s2, cfg) == want, cfg  # auto -> band
+
+
+def test_wide_alphabet_on_chip():
+    # round 5: a 16-code IUPAC ambiguity matrix on the band kernel (both
+    # sentinels at code K, injected post-unpack)
+    import numpy as np
+
+    from tpualign.config import ScoringConfig
+    from tpualign.matrices import iupac
+    from tpualign.ops import band
+    from tpualign.utils import native
+
+    rng = np.random.default_rng(29)
+    s1 = rng.integers(1, 16, 3000).astype(np.int8)
+    s2 = rng.integers(1, 16, 2800).astype(np.int8)
+    cfg = ScoringConfig(gap=-2, matrix=iupac(2, -1))
+    got = band.score(s1, s2, cfg)
+    if native.available():
+        assert got == native.score(s1, s2, cfg)
+
+
+def test_chunked_modes_on_chip():
+    # round 5: matrix / ends-free / affine through the chunked tier's
+    # block coupling (E columns, F boundary rows) on Mosaic
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.matrices import dna
+    from tpualign.ops import band_chunked, oracle
+
+    s1, s2 = random_pair(5000, 4600, seed=31)
+    for cfg in (
+        ScoringConfig(gap=-2, matrix=dna(2, -1, -3),
+                      mode=AlignMode.SEMIGLOBAL),
+        ScoringConfig(match=2, mismatch=-1, gap=-2, gap_open=-5,
+                      gap_extend=-2, mode=AlignMode.INFIX),
+        ScoringConfig(gap=-2, matrix=dna(2, -1, -3), gap_open=-5,
+                      gap_extend=-2),
+    ):
+        got = band_chunked.score(s1, s2, cfg, rows=8, block=1024)
+        assert got == oracle.score(s1, s2, cfg), cfg
+
+
+def test_ends_free_locate_on_chip():
+    # round 5: the device locate fills (bottom-aligned boundary rows +
+    # right-column capture) against the native scanner
+    from tpualign.config import AlignMode, ScoringConfig
+    from tpualign.io.bdna import random_pair
+    from tpualign.ops import band_align
+    from tpualign.utils import native
+
+    s1, s2 = random_pair(4000, 3700, seed=37)
+    for mode in (AlignMode.SEMIGLOBAL, AlignMode.INFIX):
+        cfg = ScoringConfig(match=2, mismatch=-1, gap=-2, mode=mode)
+        got = band_align.locate_flex_device(s1, s2, cfg)
+        if native.available():
+            assert got == native.locate_flex(s1, s2, cfg), mode
