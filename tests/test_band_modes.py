@@ -132,8 +132,8 @@ def test_supports_gate():
     assert band.supports(ScoringConfig(gap=-2, matrix=MAT, mode=SG))
     # any K <= 16 alphabet fits since round 5 (sentinels share code K)
     assert band.supports(ScoringConfig(gap=-2, matrix=matrices.iupac()))
-    # ends-free affine is outside the kernel's boundary-F machinery
-    assert not band.supports(
+    # ends-free affine gained boundary-F forms in round 5: supported too
+    assert band.supports(
         ScoringConfig(match=2, mismatch=-1, gap=-2, gap_open=-4,
                       gap_extend=-1, mode=SG))
 
