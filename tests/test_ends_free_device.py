@@ -88,6 +88,21 @@ def test_align_large_device_path(mode, mat, monkeypatch):
         assert oracle.alignment_score(a1, a2, gcfg) == sc
 
 
+def test_align_global_wide_alphabet():
+    # K = 16 alignment end to end: strip-kernel profile planes at the full
+    # 4-bit code range, matrix-aware native leaf walks, 16-symbol BASES
+    from tpualign.matrices import iupac
+
+    r = np.random.default_rng(41)
+    s1 = r.integers(1, 16, 600).astype(np.int8)
+    s2 = r.integers(1, 16, 650).astype(np.int8)
+    cfg = ScoringConfig(gap=-2, matrix=iupac(2, -1))
+    sc, a1, a2 = band_align.align_global(s1, s2, cfg, rows=2,
+                                         interpret=True)
+    assert sc == oracle.score(s1, s2, cfg)
+    assert oracle.alignment_score(a1, a2, cfg) == sc
+
+
 def test_align_local_matrix():
     # matrix-SW on the band locate + k-way machinery
     s1, s2 = pair(650, 600, 4)
