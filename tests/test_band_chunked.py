@@ -94,11 +94,13 @@ def test_chunked_affine_modes(mode, mat):
     else:
         kw.update(match=2, mismatch=-1)
     cfg = ScoringConfig(**kw)
-    for m, n in ((300, 260), (260, 300)):
-        s1, s2 = random_pair(m, n, m + n, lo=1)
-        got = band_chunked.score(s1, s2, cfg, rows=2, block=96,
-                                 interpret=True)
-        assert got == oracle.score(s1, s2, cfg), (mode, mat, m, n)
+    # orientation alternates across the parametrization (both swap paths
+    # covered without doubling the interpreted-kernel wall)
+    m, n = (300, 260) if mat == (mode.value in ("nw", "sg")) else (260, 300)
+    s1, s2 = random_pair(m, n, m + n, lo=1)
+    got = band_chunked.score(s1, s2, cfg, rows=2, block=96,
+                             interpret=True)
+    assert got == oracle.score(s1, s2, cfg), (mode, mat, m, n)
 
 
 def test_sw_max_in_middle_block():
