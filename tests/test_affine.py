@@ -274,6 +274,69 @@ def test_affine_ends_free_align_large(mode, mat, monkeypatch):
         assert oracle.alignment_score(a1, a2, gcfg) == sc
 
 
+@pytest.mark.parametrize("mat", [False, True], ids=["pair", "mat"])
+def test_gotoh_rows_matches_scan(mat):
+    # round 5: the Myers-Miller (H, F) boundary rows from the chunked band
+    # kernel must equal the XLA affine scan's, for both tb edge forms —
+    # multi-strip, multi-block, ragged tail
+    import jax.numpy as jnp
+
+    from tpualign.matrices import dna
+    from tpualign.ops import affine_align, band_chunked
+
+    kw = dict(gap_open=-5, gap_extend=-2, gap=-2)
+    if mat:
+        kw["matrix"] = dna(2, -1, -3)
+    else:
+        kw.update(match=2, mismatch=-1)
+    cfg = ScoringConfig(**kw)
+    s1, s2 = random_pair(300, 280, seed=61)
+    m, n = s1.size, s2.size
+    mb, nb = affine_align._bucket(m), affine_align._bucket(n)
+    s1p = np.full(mb, affine_align._pad_code(cfg), np.int32)
+    s1p[:m] = s1
+    s2p = np.full(nb, affine_align._pad_code(cfg), np.int32)
+    s2p[:n] = s2
+    for tb in (cfg.gap_open, 0):
+        H, F = band_chunked.gotoh_rows(s1, s2, cfg, tb, rows=2, block=96,
+                                       interpret=True)
+        hx, fx = affine_align._scan_fn(mb, nb, cfg)(
+            jnp.asarray(s1p), jnp.asarray(s2p), jnp.int32(n), jnp.int32(tb))
+        assert (H == np.asarray(hx)[: m + 1].astype(np.int64)).all(), tb
+        assert (F == np.asarray(fx)[: m + 1].astype(np.int64)).all(), tb
+
+
+@pytest.mark.parametrize("mode", [AlignMode.SEMIGLOBAL, AlignMode.INFIX],
+                         ids=["sg", "infix"])
+def test_gotoh_locate_rows_matches_scan(mode):
+    # round 5: the ends-free affine locate's (last row, last column) from
+    # the chunked band kernel vs the XLA locate scan — forward boundaries
+    # and the anchored (global) form
+    import jax.numpy as jnp
+
+    from tpualign.ops import affine_align, band_chunked
+
+    cfg = ScoringConfig(match=2, mismatch=-1, gap=-2, gap_open=-5,
+                        gap_extend=-2, mode=mode)
+    s1, s2 = random_pair(300, 280, seed=67)
+    m, n = s1.size, s2.size
+    mb, nb = affine_align._bucket(m), affine_align._bucket(n)
+    s1p = np.full(mb, affine_align._pad_code(cfg), np.int32)
+    s1p[:m] = s1
+    s2p = np.full(nb, affine_align._pad_code(cfg), np.int32)
+    s2p[:n] = s2
+    for anchored in (False, True):
+        zr = (not anchored) and cfg.free_start_s1
+        zc = (not anchored) and cfg.free_start_s2
+        row, col = band_chunked.gotoh_locate_rows(
+            s1, s2, cfg, zr=zr, zc=zc, rows=2, block=96, interpret=True)
+        br, brj, bc, bci = affine_align._locate_flex_fn(
+            mb, nb, cfg, zr, zc, True)(
+            jnp.asarray(s1p), jnp.asarray(s2p), jnp.int32(n), jnp.int32(m))
+        assert (int(row.argmax()), int(row.max())) == (int(brj), int(br))
+        assert (int(col.argmax()), int(col.max())) == (int(bci), int(bc))
+
+
 @pytest.mark.parametrize("shape", ["matrix", "sg", "infix"])
 def test_batch_api_affine_pair_modes(shape):
     # regression (ADVICE r4, high): affine + matrix / ends-free batches

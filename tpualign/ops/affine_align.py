@@ -246,9 +246,28 @@ def _pad_code(cfg: ScoringConfig) -> int:
     return 16 if cfg.has_matrix else _PAD
 
 
+def _band_rows_ok(cfg: ScoringConfig, m: int, n: int) -> bool:
+    """True when the chunked band kernel can serve this node's (H, F)
+    rows on the accelerator (~100-200 GCUPS vs the XLA scan's ~0.5)."""
+    import jax
+
+    from .band import _wmax
+
+    if m < 8 or n < 2 or (m + n) * _wmax(cfg) > 2**29:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _scan(s1: np.ndarray, s2: np.ndarray, cfg: ScoringConfig, tb: int):
     """(H, F) rows (numpy, length m+1) after aligning all of ``s2``."""
     m, n = s1.size, s2.size
+    if _band_rows_ok(cfg, m, n):
+        from .band_chunked import gotoh_rows
+
+        try:
+            return gotoh_rows(s1, s2, cfg, tb)
+        except ValueError:
+            pass  # outside the strip machinery: the XLA scan below
     mb, nb = _bucket(m), _bucket(n)
     s1p = np.full(mb, _pad_code(cfg), np.int32)
     s1p[:m] = s1
@@ -538,6 +557,20 @@ def locate_flex(s1, s2, cfg: ScoringConfig, *, anchored: bool = False):
             if int(col[i]) > br:
                 return int(col[i]), i, 0
         return br, n, 0
+    if _band_rows_ok(cfg, m, n):
+        from .band_chunked import gotoh_locate_rows
+
+        try:  # one chunked band fill instead of the ~0.5-GCUPS scan
+            row, col = gotoh_locate_rows(s1, s2, cfg, zr=zr, zc=zc)
+            brj = int(row.argmax())
+            br = int(row[brj])
+            if ext_col:
+                bci = int(col.argmax())
+                if int(col[bci]) > br:
+                    return int(col[bci]), bci, m
+            return br, n, brj
+        except ValueError:
+            pass
     mb, nb = _bucket(m), _bucket(n)
     s1p = np.full(mb, _pad_code(cfg), np.int32)
     s1p[:m] = s1
